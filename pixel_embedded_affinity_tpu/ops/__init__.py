@@ -1,0 +1,15 @@
+from .offsets import gen_offsets, multi_offset, SHIFTS_3D, offsets_3d
+from .affinity_np import (
+    gen_affs,
+    seg_to_aff_3d,
+    weight_binary_ratio,
+    seg_widen_border,
+    relabel,
+    remove_small,
+    label_pyramid,
+)
+from .emb2aff import (
+    normalize_embedding,
+    embedding_to_affinity_2d,
+    embedding_to_affinity_3d,
+)

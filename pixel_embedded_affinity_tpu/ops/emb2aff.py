@@ -1,0 +1,101 @@
+"""Embedding -> multi-offset affinity, pure-jnp reference implementation.
+
+This is the correctness oracle for the fused Pallas kernel
+(:mod:`.emb2aff_pallas`). Layout is channels-last (TPU-friendly):
+embeddings (B, H, W, C) or (B, D, H, W, C); affinities (B, H, W, K) /
+(B, D, H, W, K) with one channel per offset.
+
+Semantics: affinity channel k at pixel p is the dot product of the
+L2-normalized embeddings at p and p + offsets[k].
+
+Border modes:
+* ``'valid'``   (default): affinity is 0 where p + offset is out of bounds.
+  This matches the reference 3D path exactly
+  (scripts_ac3ac4/loss/loss_embedding_mse.py:169-194 initializes affs to zero
+  and writes only the valid slab) and matches the 2D path everywhere the loss
+  mask is 1 / the mutex-watershed reads an edge.
+* ``'circular'``: torch.roll wrap-around parity with the reference 2D path
+  (scripts_cvppp/loss/loss_embedding_mse.py:7-16) for bit-level comparisons.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def normalize_embedding(e: jnp.ndarray, axis: int = -1,
+                        eps: float = 1e-12) -> jnp.ndarray:
+    """L2 normalize, torch.nn.functional.normalize semantics (norm clamped to eps)."""
+    norm = jnp.sqrt(jnp.sum(e * e, axis=axis, keepdims=True))
+    return e / jnp.maximum(norm, eps)
+
+
+def _valid_mask_2d(shape_hw, off, dtype):
+    h, w = shape_hw
+    oy, ox = off
+    ys = np.zeros((h, 1), dtype=bool)
+    xs = np.zeros((1, w), dtype=bool)
+    yy = np.arange(h)[:, None] + oy
+    xx = np.arange(w)[None, :] + ox
+    ys = (yy >= 0) & (yy < h)
+    xs = (xx >= 0) & (xx < w)
+    return jnp.asarray((ys & xs).astype(dtype))
+
+
+def embedding_to_affinity_2d(embedding: jnp.ndarray,
+                             offsets,
+                             normalize: bool = True,
+                             padding: str = "valid") -> jnp.ndarray:
+    """(B, H, W, C) embeddings -> (B, H, W, K) affinities.
+
+    affs[..., k][y, x] = <N[y, x], N[y + oy_k, x + ox_k]>.
+    """
+    assert padding in ("valid", "circular")
+    if normalize:
+        n = normalize_embedding(embedding, axis=-1)
+    else:
+        n = embedding
+    h, w = n.shape[1], n.shape[2]
+    chans = []
+    for off in offsets:
+        oy, ox = int(off[0]), int(off[1])
+        # neighbor value at p is n[p + off]: roll content by -off
+        shifted = jnp.roll(n, shift=(-oy, -ox), axis=(1, 2))
+        a = jnp.sum(n * shifted, axis=-1)
+        if padding == "valid":
+            a = a * _valid_mask_2d((h, w), (oy, ox), a.dtype)[None]
+        chans.append(a)
+    return jnp.stack(chans, axis=-1)
+
+
+def embedding_to_affinity_3d(embedding: jnp.ndarray,
+                             shifts=(1, 1, 1, 2, 3, 3, 3, 9, 9, 4, 27, 27),
+                             normalize: bool = True) -> jnp.ndarray:
+    """(B, D, H, W, C) embeddings -> (B, D, H, W, K) affinities.
+
+    Channel i shifts along spatial axis i % 3 (z, y, x) by shifts[i] in the
+    negative direction; out-of-bounds slab is zero — exact reference
+    ``inf_embedding_loss_norm5`` semantics.
+    """
+    if normalize:
+        n = normalize_embedding(embedding, axis=-1)
+    else:
+        n = embedding
+    b, d, h, w, c = n.shape
+    dims = (d, h, w)
+    chans = []
+    for i, s in enumerate(shifts):
+        axis = i % 3
+        size = dims[axis]
+        sl_hi = [slice(None)] * 3
+        sl_lo = [slice(None)] * 3
+        sl_hi[axis] = slice(s, size)
+        sl_lo[axis] = slice(0, size - s)
+        hi = n[(slice(None),) + tuple(sl_hi)]
+        lo = n[(slice(None),) + tuple(sl_lo)]
+        a = jnp.sum(hi * lo, axis=-1)
+        pad_widths = [(0, 0), (0, 0), (0, 0), (0, 0)]
+        pad_widths[1 + axis] = (s, 0)
+        chans.append(jnp.pad(a, pad_widths))
+    return jnp.stack(chans, axis=-1)
