@@ -1,9 +1,10 @@
 """Embedding -> multi-offset affinity, pure-jnp reference implementation.
 
 This is the correctness oracle for the fused Pallas kernel
-(:mod:`.emb2aff_pallas`). Layout is channels-last (TPU-friendly):
-embeddings (B, H, W, C) or (B, D, H, W, C); affinities (B, H, W, K) /
-(B, D, H, W, K) with one channel per offset.
+(:mod:`.emb2aff_pallas`). Embeddings are channels-last (TPU/model-friendly):
+(B, H, W, C) or (B, D, H, W, C). Affinities are channels-FIRST —
+(B, K, H, W) / (B, K, D, H, W) — one channel per offset, matching what the
+host post-processing (mutex watershed etc.) consumes.
 
 Semantics: affinity channel k at pixel p is the dot product of the
 L2-normalized embeddings at p and p + offsets[k].
@@ -47,7 +48,7 @@ def embedding_to_affinity_2d(embedding: jnp.ndarray,
                              offsets,
                              normalize: bool = True,
                              padding: str = "valid") -> jnp.ndarray:
-    """(B, H, W, C) embeddings -> (B, H, W, K) affinities.
+    """(B, H, W, C) embeddings -> (B, K, H, W) affinities.
 
     affs[..., k][y, x] = <N[y, x], N[y + oy_k, x + ox_k]>.
     """
@@ -66,13 +67,13 @@ def embedding_to_affinity_2d(embedding: jnp.ndarray,
         if padding == "valid":
             a = a * _valid_mask_2d((h, w), (oy, ox), a.dtype)[None]
         chans.append(a)
-    return jnp.stack(chans, axis=-1)
+    return jnp.stack(chans, axis=1)
 
 
 def embedding_to_affinity_3d(embedding: jnp.ndarray,
                              shifts=(1, 1, 1, 2, 3, 3, 3, 9, 9, 4, 27, 27),
                              normalize: bool = True) -> jnp.ndarray:
-    """(B, D, H, W, C) embeddings -> (B, D, H, W, K) affinities.
+    """(B, D, H, W, C) embeddings -> (B, K, D, H, W) affinities.
 
     Channel i shifts along spatial axis i % 3 (z, y, x) by shifts[i] in the
     negative direction; out-of-bounds slab is zero — exact reference
@@ -98,4 +99,4 @@ def embedding_to_affinity_3d(embedding: jnp.ndarray,
         pad_widths = [(0, 0), (0, 0), (0, 0), (0, 0)]
         pad_widths[1 + axis] = (s, 0)
         chans.append(jnp.pad(a, pad_widths))
-    return jnp.stack(chans, axis=-1)
+    return jnp.stack(chans, axis=1)

@@ -1,0 +1,213 @@
+"""Fused Pallas TPU kernel: embedding -> multi-offset affinities.
+
+Replaces the reference's per-offset roll+multiply+reduce chain
+(scripts_cvppp/loss/loss_embedding_mse.py:7-16: ~2 full-tensor reads and one
+write per offset, x10 offsets) with ONE pass over the embedding that emits all
+K offset channels, with L2 normalization fused in. The op is HBM-bandwidth
+bound, so fusing K channels into one read is the dominant win.
+
+Design:
+* Kernel layout is (B, C, H, W) so the last two dims (H, W) map onto TPU
+  (sublane, lane) tiles. The public wrapper takes channels-last (B, H, W, C)
+  embeddings (what the Flax models emit) and emits (B, K, H, W) affinities.
+* Grid = (B, H/TILE_H). Each step reads its row-block plus the PREVIOUS
+  row-block (offsets look upward: neighbor of row y is y - s), giving a halo
+  without overlapping BlockSpecs.
+* Valid-padding semantics (affinity 0 where the neighbor is out of bounds)
+  fall out of zero padding: the wrapper pads TOP rows with `halo` zero rows
+  and right/bottom up to tile multiples; zero embeddings normalize to zero
+  vectors, so dots against the pad are exactly 0.
+* Backward pass: custom_vjp whose bwd re-derives the gradient through the
+  pure-jnp oracle (guaranteed consistent); a hand-written bwd kernel is a
+  later optimization.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .emb2aff import embedding_to_affinity_2d, embedding_to_affinity_3d
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _normalize(e, eps=1e-12):
+    # e: (C, TH, W); normalize over C (torch.nn.functional.normalize semantics)
+    norm = jnp.sqrt(jnp.sum(e * e, axis=0, keepdims=True))
+    return e / jnp.maximum(norm, eps)
+
+
+def _affinity_kernel(offsets, normalized, cur_ref, prev_ref, out_ref):
+    # blocks: cur/prev (1, C, TH, W), out (1, K, TH, W)
+    cur = cur_ref[0]
+    prev = prev_ref[0]
+    if not normalized:
+        cur = _normalize(cur)
+        prev = _normalize(prev)
+    th = cur.shape[1]
+    w = cur.shape[2]
+    for k, (oy, ox) in enumerate(offsets):
+        sy = -oy  # offsets look upward / leftward: oy <= 0 -> sy >= 0
+        assert 0 <= sy <= th, "row shift must fit in one tile"
+        # rows of the neighbor map: value at row r is N[r - sy]
+        if sy == 0:
+            rows = cur
+        else:
+            rows = jnp.concatenate([prev[:, th - sy:, :], cur[:, : th - sy, :]],
+                                   axis=1)
+        if ox < 0:
+            s = -ox
+            zeros = jnp.zeros((rows.shape[0], th, s), rows.dtype)
+            shifted = jnp.concatenate([zeros, rows[:, :, : w - s]], axis=2)
+        elif ox > 0:
+            zeros = jnp.zeros((rows.shape[0], th, ox), rows.dtype)
+            shifted = jnp.concatenate([rows[:, :, ox:], zeros], axis=2)
+        else:
+            shifted = rows
+        out_ref[0, k] = jnp.sum(cur * shifted, axis=0)
+
+
+def _fused_affinity_2d_fwd_impl(embedding_bhwc: jnp.ndarray,
+                                offsets,
+                                normalized: bool,
+                                tile_h: int,
+                                interpret: bool) -> jnp.ndarray:
+    b, h, w, c = embedding_bhwc.shape
+    max_sy = max(-int(o[0]) for o in offsets)
+    max_sx = max(abs(int(o[1])) for o in offsets)
+    assert max_sy >= 0
+    assert tile_h >= max_sy, "tile_h must cover the largest row shift"
+
+    e = jnp.transpose(embedding_bhwc, (0, 3, 1, 2))  # (B, C, H, W)
+    # top halo pad + tile alignment; zero pad == valid-affinity semantics
+    h_pad = tile_h + _round_up(h, tile_h) - h  # one full tile of top halo
+    w_pad = _round_up(max(w, 128), 128) - w
+    e = jnp.pad(e, ((0, 0), (0, 0), (tile_h, h_pad - tile_h), (0, w_pad)))
+    hp = e.shape[2]
+    wp = e.shape[3]
+    n_tiles = hp // tile_h
+    k = len(offsets)
+
+    kernel = functools.partial(_affinity_kernel, tuple(map(tuple, offsets)),
+                               normalized)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, c, tile_h, wp), lambda bi, i: (bi, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, tile_h, wp),
+                         lambda bi, i: (bi, 0, jnp.maximum(i - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k, tile_h, wp), lambda bi, i: (bi, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, k, hp, wp), embedding_bhwc.dtype),
+        interpret=interpret,
+    )(e, e)
+    return out[:, :, tile_h:tile_h + h, :w]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def fused_affinity_2d(embedding_bhwc: jnp.ndarray,
+                      offsets,
+                      tile_h: int = 32,
+                      interpret: bool = False) -> jnp.ndarray:
+    """(B, H, W, C) embedding -> (B, K, H, W) affinities (valid padding).
+
+    Equivalent to ``embedding_to_affinity_2d(e, offsets, padding='valid')``
+    (up to the torch.roll wraparound band, which the loss masks and the
+    decoders never read), but one fused pass on TPU.
+    """
+    return _fused_affinity_2d_fwd_impl(embedding_bhwc, tuple(map(tuple, offsets)),
+                                       False, tile_h, interpret)
+
+
+def _fused_affinity_2d_fwd(embedding_bhwc, offsets, tile_h, interpret):
+    out = _fused_affinity_2d_fwd_impl(embedding_bhwc, offsets, False,
+                                      tile_h, interpret)
+    return out, embedding_bhwc
+
+
+def _fused_affinity_2d_bwd(offsets, tile_h, interpret, residual, g):
+    embedding_bhwc = residual
+    _, vjp = jax.vjp(
+        lambda e: embedding_to_affinity_2d(e, offsets, padding="valid"),
+        embedding_bhwc)
+    return (vjp(g)[0],)
+
+
+fused_affinity_2d.defvjp(_fused_affinity_2d_fwd, _fused_affinity_2d_bwd)
+
+
+# ---------------------------------------------------------------------------
+# 3D: xy channels reuse the 2D kernel over the (B*D) batch; z channels are a
+# cheap sliced dot handled by XLA fusion.
+# ---------------------------------------------------------------------------
+
+def _fused_affinity_3d_impl(embedding_bdhwc, shifts, tile_h, interpret):
+    from .emb2aff import normalize_embedding
+
+    b, d, h, w, c = embedding_bdhwc.shape
+    n = normalize_embedding(embedding_bdhwc, axis=-1)
+
+    # xy channels through the fused 2D kernel
+    xy_offsets = []
+    xy_idx = []
+    z_shifts = []
+    z_idx = []
+    for i, s in enumerate(shifts):
+        ax = i % 3
+        if ax == 0:
+            z_shifts.append(int(s))
+            z_idx.append(i)
+        elif ax == 1:
+            xy_offsets.append((-int(s), 0))
+            xy_idx.append(i)
+        else:
+            xy_offsets.append((0, -int(s)))
+            xy_idx.append(i)
+
+    chans = [None] * len(shifts)
+    if xy_offsets:
+        flat = n.reshape(b * d, h, w, c)
+        affs_xy = _fused_affinity_2d_fwd_impl(flat, tuple(xy_offsets), True,
+                                              tile_h, interpret)
+        affs_xy = affs_xy.reshape(b, d, len(xy_offsets), h, w)
+        affs_xy = jnp.moveaxis(affs_xy, 2, 1)  # (B, Kxy, D, H, W)
+        for j, i in enumerate(xy_idx):
+            chans[i] = affs_xy[:, j]
+    for s, i in zip(z_shifts, z_idx):
+        a = jnp.sum(n[:, s:] * n[:, : d - s], axis=-1)
+        chans[i] = jnp.pad(a, ((0, 0), (s, 0), (0, 0), (0, 0)))
+    return jnp.stack(chans, axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def fused_affinity_3d(embedding_bdhwc: jnp.ndarray,
+                      shifts=(1, 1, 1, 2, 3, 3, 3, 9, 9, 4, 27, 27),
+                      tile_h: int = 32,
+                      interpret: bool = False) -> jnp.ndarray:
+    """(B, D, H, W, C) embedding -> (B, K, D, H, W), norm5 semantics."""
+    return _fused_affinity_3d_impl(embedding_bdhwc, tuple(shifts), tile_h,
+                                   interpret)
+
+
+def _fused_affinity_3d_fwd(embedding_bdhwc, shifts, tile_h, interpret):
+    return (_fused_affinity_3d_impl(embedding_bdhwc, shifts, tile_h, interpret),
+            embedding_bdhwc)
+
+
+def _fused_affinity_3d_bwd(shifts, tile_h, interpret, residual, g):
+    _, vjp = jax.vjp(lambda e: embedding_to_affinity_3d(e, shifts), residual)
+    return (vjp(g)[0],)
+
+
+fused_affinity_3d.defvjp(_fused_affinity_3d_fwd, _fused_affinity_3d_bwd)

@@ -1,0 +1,516 @@
+// pea_postproc: native post-processing kernels for instance decoding.
+//
+// Host-side C++ replacements for the reference's external native deps
+// (elf/affogato mutex watershed, mahotas cwatershed, waterz mean-affinity
+// agglomeration, elf/nifty multicut). Interfaces are C ABI for ctypes.
+//
+// Conventions:
+//  * images are flattened C-order; dims given explicitly (ndim 2 or 3)
+//  * affinity channel c at pixel p is the affinity between p and p+offset[c]
+//    (offsets negative: toward lower coordinates)
+//
+// Build: g++ -O3 -march=native -shared -fPIC -std=c++17
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <queue>
+#include <random>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+struct UnionFind {
+    std::vector<uint32_t> parent;
+    std::vector<uint32_t> rank_;
+
+    explicit UnionFind(size_t n) : parent(n), rank_(n, 0) {
+        for (size_t i = 0; i < n; ++i) parent[i] = (uint32_t)i;
+    }
+    uint32_t find(uint32_t x) {
+        uint32_t root = x;
+        while (parent[root] != root) root = parent[root];
+        while (parent[x] != root) { uint32_t next = parent[x]; parent[x] = root; x = next; }
+        return root;
+    }
+    // returns the surviving root after union (no mutex handling here)
+    uint32_t merge(uint32_t a, uint32_t b) {
+        if (rank_[a] < rank_[b]) std::swap(a, b);
+        parent[b] = a;
+        if (rank_[a] == rank_[b]) ++rank_[a];
+        return a;
+    }
+};
+
+inline void unravel(int64_t p, const int64_t* dims, int ndim, int64_t* coord) {
+    for (int d = ndim - 1; d >= 0; --d) { coord[d] = p % dims[d]; p /= dims[d]; }
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Mutex watershed (compute_mws_segmentation semantics).
+//
+// weights: (C, N) edge priorities. Attractive channels (c < n_attractive):
+// higher = stronger merge evidence (affinity). Repulsive channels: higher =
+// stronger split evidence (1 - affinity). All edges processed in one global
+// descending-priority order; attractive edges merge unless a mutex exists,
+// repulsive edges install a mutex unless already merged.
+// strides subsample repulsive edges on a source-pixel grid (or uniformly at
+// random with the same density when randomize_strides).
+// mask: optional (N) uint8; edges touching masked-out pixels are dropped and
+// masked-out pixels get label 0. Returns number of segments.
+// ---------------------------------------------------------------------------
+int64_t mws_segmentation(const float* weights,
+                         const int32_t* offsets,
+                         int32_t n_channels, int32_t n_attractive,
+                         const int64_t* dims, int32_t ndim,
+                         const int32_t* strides,
+                         int32_t randomize_strides, uint64_t seed,
+                         const uint8_t* mask,
+                         uint32_t* out) {
+    int64_t n = 1;
+    for (int d = 0; d < ndim; ++d) n *= dims[d];
+    if ((int64_t)n_channels * n >= (int64_t)UINT32_MAX) return -1;
+
+    // pixel strides for linear indexing
+    int64_t pix_stride[4] = {0, 0, 0, 0};
+    pix_stride[ndim - 1] = 1;
+    for (int d = ndim - 2; d >= 0; --d) pix_stride[d] = pix_stride[d + 1] * dims[d + 1];
+
+    double stride_density = 1.0;
+    for (int d = 0; d < ndim; ++d) stride_density /= std::max(1, strides[d]);
+    std::mt19937_64 rng(seed);
+    std::uniform_real_distribution<double> uni(0.0, 1.0);
+
+    // collect candidate edges as ids e = c * n + p
+    std::vector<uint32_t> edges;
+    edges.reserve((size_t)(n * (n_attractive + stride_density * (n_channels - n_attractive)) * 1.02));
+    std::vector<int64_t> coord(ndim);
+    for (int32_t c = 0; c < n_channels; ++c) {
+        const int32_t* off = offsets + (size_t)c * ndim;
+        bool repulsive = c >= n_attractive;
+        for (int64_t p = 0; p < n; ++p) {
+            if (mask && !mask[p]) continue;
+            unravel(p, dims, ndim, coord.data());
+            bool ok = true;
+            int64_t q = p;
+            for (int d = 0; d < ndim; ++d) {
+                int64_t cd = coord[d] + off[d];
+                if (cd < 0 || cd >= dims[d]) { ok = false; break; }
+                q += (int64_t)off[d] * pix_stride[d];
+            }
+            if (!ok) continue;
+            if (mask && !mask[q]) continue;
+            if (repulsive) {
+                if (randomize_strides) {
+                    if (uni(rng) >= stride_density) continue;
+                } else {
+                    bool on_grid = true;
+                    for (int d = 0; d < ndim; ++d)
+                        if (coord[d] % std::max(1, strides[d]) != 0) { on_grid = false; break; }
+                    if (!on_grid) continue;
+                }
+            }
+            edges.push_back((uint32_t)((int64_t)c * n + p));
+        }
+    }
+
+    // global descending sort by weight (stable for determinism)
+    std::stable_sort(edges.begin(), edges.end(),
+                     [&](uint32_t a, uint32_t b) { return weights[a] > weights[b]; });
+
+    UnionFind uf((size_t)n);
+    std::unordered_map<uint32_t, std::unordered_set<uint32_t>> mutexes;
+    mutexes.reserve(1024);
+
+    auto has_mutex = [&](uint32_t ra, uint32_t rb) -> bool {
+        auto ia = mutexes.find(ra);
+        auto ib = mutexes.find(rb);
+        if (ia == mutexes.end() || ib == mutexes.end()) return false;
+        const auto& small = ia->second.size() <= ib->second.size() ? ia->second : ib->second;
+        uint32_t other = ia->second.size() <= ib->second.size() ? rb : ra;
+        return small.count(other) > 0;
+    };
+    auto add_mutex = [&](uint32_t ra, uint32_t rb) {
+        mutexes[ra].insert(rb);
+        mutexes[rb].insert(ra);
+    };
+    auto merge_mutex = [&](uint32_t target, uint32_t source) {
+        auto is = mutexes.find(source);
+        if (is == mutexes.end()) return;
+        auto moved = std::move(is->second);
+        mutexes.erase(is);
+        auto& tgt = mutexes[target];
+        for (uint32_t x : moved) {
+            auto ix = mutexes.find(x);
+            if (ix != mutexes.end()) {
+                ix->second.erase(source);
+                ix->second.insert(target);
+            }
+            tgt.insert(x);
+        }
+    };
+
+    for (uint32_t e : edges) {
+        int64_t c = e / n;
+        int64_t p = e % n;
+        const int32_t* off = offsets + (size_t)c * ndim;
+        int64_t q = p;
+        for (int d = 0; d < ndim; ++d) q += (int64_t)off[d] * pix_stride[d];
+        uint32_t ra = uf.find((uint32_t)p);
+        uint32_t rb = uf.find((uint32_t)q);
+        if (ra == rb) continue;
+        if (c < n_attractive) {
+            if (!has_mutex(ra, rb)) {
+                uint32_t keep = uf.merge(ra, rb);
+                uint32_t gone = keep == ra ? rb : ra;
+                merge_mutex(keep, gone);
+            }
+        } else {
+            add_mutex(ra, rb);
+        }
+    }
+
+    // relabel roots consecutively (masked-out -> 0)
+    std::unordered_map<uint32_t, uint32_t> remap;
+    remap.reserve(1024);
+    uint32_t next = 1;
+    for (int64_t p = 0; p < n; ++p) {
+        if (mask && !mask[p]) { out[p] = 0; continue; }
+        uint32_t r = uf.find((uint32_t)p);
+        auto it = remap.find(r);
+        if (it == remap.end()) { remap[r] = next; out[p] = next; ++next; }
+        else out[p] = it->second;
+    }
+    return (int64_t)(next - 1);
+}
+
+// ---------------------------------------------------------------------------
+// Seeded watershed (mahotas.cwatershed semantics): region growing from seeds
+// in ascending cost order; 4-connectivity in 2D.
+// seeds: int32 labels (>0 seed, 0 unlabeled). out: final labels (whole image).
+// ---------------------------------------------------------------------------
+void seeded_watershed_2d(const float* cost, const int32_t* seeds,
+                         int64_t h, int64_t w, int32_t* out) {
+    const int64_t n = h * w;
+    std::memcpy(out, seeds, sizeof(int32_t) * (size_t)n);
+
+    struct QE { float c; int64_t order; int64_t idx; };
+    struct Cmp { bool operator()(const QE& a, const QE& b) const {
+        if (a.c != b.c) return a.c > b.c;  // min-heap on cost
+        return a.order > b.order;          // FIFO tie-break
+    } };
+    std::priority_queue<QE, std::vector<QE>, Cmp> pq;
+    int64_t order = 0;
+
+    std::vector<uint8_t> in_queue((size_t)n, 0);
+    for (int64_t p = 0; p < n; ++p)
+        if (seeds[p] > 0) { pq.push({cost[p], order++, p}); in_queue[p] = 1; }
+
+    const int64_t dy[4] = {-1, 1, 0, 0};
+    const int64_t dx[4] = {0, 0, -1, 1};
+    while (!pq.empty()) {
+        QE e = pq.top(); pq.pop();
+        int64_t p = e.idx;
+        int32_t lab = out[p];
+        int64_t y = p / w, x = p % w;
+        for (int k = 0; k < 4; ++k) {
+            int64_t yy = y + dy[k], xx = x + dx[k];
+            if (yy < 0 || yy >= h || xx < 0 || xx >= w) continue;
+            int64_t q = yy * w + xx;
+            if (in_queue[q]) continue;
+            out[q] = lab;
+            in_queue[q] = 1;
+            pq.push({cost[q], order++, q});
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Mean-affinity hierarchical agglomeration (waterz-equivalent scoring
+// 'OneMinus<MeanAffinity>'): merge fragment pairs while 1 - mean_affinity of
+// their shared boundary < threshold, lowest score first. fragments uint64
+// (label 0 = ignore). affs: (3, D, H, W), channel d = affinity to -1 along
+// axis d. Writes merged labels to out; returns #segments.
+// ---------------------------------------------------------------------------
+int64_t agglomerate_mean(const float* affs, const uint64_t* fragments,
+                         int64_t dz, int64_t dy, int64_t dx,
+                         double threshold, uint64_t* out) {
+    const int64_t n = dz * dy * dx;
+    // compact fragment ids
+    std::unordered_map<uint64_t, uint32_t> idmap;
+    idmap.reserve(4096);
+    std::vector<uint64_t> rev;
+    auto compact = [&](uint64_t f) -> uint32_t {
+        auto it = idmap.find(f);
+        if (it != idmap.end()) return it->second;
+        uint32_t id = (uint32_t)rev.size();
+        idmap[f] = id;
+        rev.push_back(f);
+        return id;
+    };
+
+    struct Stat { double sum = 0; double cnt = 0; };
+    // adjacency: per node, map neighbor -> stat
+    std::vector<std::unordered_map<uint32_t, Stat>> adj;
+
+    const int64_t strides[3] = {dy * dx, dx, 1};
+    const int64_t ddims[3] = {dz, dy, dx};
+    for (int64_t p = 0; p < n; ++p) {
+        uint64_t fp = fragments[p];
+        if (!fp) continue;
+        uint32_t a = compact(fp);
+        if (adj.size() <= a) adj.resize(a + 1);
+        int64_t rem = p;
+        int64_t cz = rem / strides[0]; rem %= strides[0];
+        int64_t cy = rem / strides[1];
+        int64_t cx = rem % strides[1];
+        int64_t coord[3] = {cz, cy, cx};
+        for (int d = 0; d < 3; ++d) {
+            if (coord[d] - 1 < 0) continue;
+            int64_t q = p - strides[d];
+            uint64_t fq = fragments[q];
+            if (!fq || fq == fp) continue;
+            uint32_t b = compact(fq);
+            if (adj.size() <= b) adj.resize(b + 1);
+            float av = affs[(size_t)d * n + p];
+            adj[a][b].sum += av; adj[a][b].cnt += 1;
+            adj[b][a].sum += av; adj[b][a].cnt += 1;
+        }
+    }
+    size_t n_nodes = rev.size();
+    adj.resize(n_nodes);
+
+    UnionFind uf(n_nodes);
+    struct QE { double score; uint32_t a, b; };
+    struct Cmp { bool operator()(const QE& x, const QE& y) const { return x.score > y.score; } };
+    std::priority_queue<QE, std::vector<QE>, Cmp> pq;
+    auto score_of = [](const Stat& s) { return 1.0 - s.sum / s.cnt; };
+    for (uint32_t a = 0; a < n_nodes; ++a)
+        for (auto& kv : adj[a])
+            if (kv.first > a) pq.push({score_of(kv.second), a, kv.first});
+
+    while (!pq.empty()) {
+        QE e = pq.top(); pq.pop();
+        if (e.score >= threshold) break;
+        uint32_t ra = uf.find(e.a), rb = uf.find(e.b);
+        if (ra == rb) continue;
+        // stale check: current edge stat between ra, rb
+        auto it = adj[ra].find(rb);
+        if (it == adj[ra].end()) continue;
+        double cur = score_of(it->second);
+        if (cur > e.score + 1e-12) { pq.push({cur, ra, rb}); continue; }
+
+        // merge rb into ra (larger adjacency wins)
+        if (adj[ra].size() < adj[rb].size()) std::swap(ra, rb);
+        uint32_t keep = uf.merge(ra, rb);
+        if (keep != ra) { // UnionFind picked by rank; force data to follow 'keep'
+            std::swap(ra, rb);
+        }
+        // now move rb's edges into ra
+        adj[ra].erase(rb);
+        for (auto& kv : adj[rb]) {
+            uint32_t c = kv.first;
+            if (c == ra) continue;
+            uint32_t rc = uf.find(c);
+            if (rc == ra) continue;
+            // neighbor map of c: replace rb entry by ra (accumulate)
+            auto ic = adj[rc].find(rb);
+            if (ic != adj[rc].end()) {
+                Stat s = ic->second;
+                adj[rc].erase(ic);
+                auto& tgt = adj[rc][ra];
+                tgt.sum += s.sum; tgt.cnt += s.cnt;
+            }
+            auto& mine = adj[ra][rc];
+            mine.sum += kv.second.sum; mine.cnt += kv.second.cnt;
+            pq.push({score_of(adj[ra][rc]), ra, rc});
+        }
+        adj[rb].clear();
+    }
+
+    // write out merged labels (relabel consecutively, keep 0)
+    std::unordered_map<uint32_t, uint64_t> remap;
+    uint64_t next = 1;
+    for (int64_t p = 0; p < n; ++p) {
+        uint64_t fp = fragments[p];
+        if (!fp) { out[p] = 0; continue; }
+        uint32_t r = uf.find(idmap[fp]);
+        auto it = remap.find(r);
+        if (it == remap.end()) { remap[r] = next; out[p] = next; ++next; }
+        else out[p] = it->second;
+    }
+    return (int64_t)(next - 1);
+}
+
+// ---------------------------------------------------------------------------
+// RAG features: per-edge mean affinity and boundary size from fragments +
+// nearest-neighbor affinities. Two-phase: call with uv==nullptr to count
+// edges, then with allocated buffers.
+// ---------------------------------------------------------------------------
+int64_t rag_mean_affinity(const uint64_t* fragments, const float* affs,
+                          int64_t dz, int64_t dy, int64_t dx,
+                          uint64_t* uv, double* mean_aff, double* size) {
+    const int64_t n = dz * dy * dx;
+    struct Stat { double sum = 0; double cnt = 0; };
+    std::unordered_map<uint64_t, Stat> edges;  // key = (min<<32)|max of compacted? use 64-bit pair hash
+    std::unordered_map<uint64_t, uint32_t> idmap;
+    std::vector<uint64_t> rev;
+    auto compact = [&](uint64_t f) -> uint32_t {
+        auto it = idmap.find(f);
+        if (it != idmap.end()) return it->second;
+        uint32_t id = (uint32_t)rev.size();
+        idmap[f] = id; rev.push_back(f);
+        return id;
+    };
+    const int64_t strides[3] = {dy * dx, dx, 1};
+    for (int64_t p = 0; p < n; ++p) {
+        uint64_t fp = fragments[p];
+        if (!fp) continue;
+        uint32_t a = compact(fp);
+        int64_t rem = p;
+        int64_t cz = rem / strides[0]; rem %= strides[0];
+        int64_t cy = rem / strides[1];
+        int64_t cx = rem % strides[1];
+        int64_t coord[3] = {cz, cy, cx};
+        for (int d = 0; d < 3; ++d) {
+            if (coord[d] - 1 < 0) continue;
+            int64_t q = p - strides[d];
+            uint64_t fq = fragments[q];
+            if (!fq || fq == fp) continue;
+            uint32_t b = compact(fq);
+            uint64_t key = a < b ? ((uint64_t)a << 32) | b : ((uint64_t)b << 32) | a;
+            auto& s = edges[key];
+            s.sum += affs[(size_t)d * n + p];
+            s.cnt += 1;
+        }
+    }
+    if (!uv) return (int64_t)edges.size();
+    int64_t i = 0;
+    for (auto& kv : edges) {
+        uint32_t a = (uint32_t)(kv.first >> 32);
+        uint32_t b = (uint32_t)(kv.first & 0xffffffffu);
+        uv[2 * i] = rev[a];
+        uv[2 * i + 1] = rev[b];
+        mean_aff[i] = kv.second.sum / kv.second.cnt;
+        size[i] = kv.second.cnt;
+        ++i;
+    }
+    return i;
+}
+
+// ---------------------------------------------------------------------------
+// Multicut via greedy additive edge contraction (GAEC), optional greedy
+// single-node local search. Positive cost = attraction.
+// nodes are 0..n_nodes-1; node_labels out: component ids (consecutive).
+// ---------------------------------------------------------------------------
+int64_t gaec_multicut(int64_t n_nodes, int64_t n_edges,
+                      const uint64_t* uv, const double* costs,
+                      int32_t do_local_search, uint64_t* node_labels) {
+    std::vector<std::unordered_map<uint32_t, double>> adj((size_t)n_nodes);
+    for (int64_t i = 0; i < n_edges; ++i) {
+        uint32_t a = (uint32_t)uv[2 * i], b = (uint32_t)uv[2 * i + 1];
+        if (a == b) continue;
+        adj[a][b] += costs[i];
+        adj[b][a] += costs[i];
+    }
+    UnionFind uf((size_t)n_nodes);
+    struct QE { double c; uint32_t a, b; };
+    struct Cmp { bool operator()(const QE& x, const QE& y) const { return x.c < y.c; } };
+    std::priority_queue<QE, std::vector<QE>, Cmp> pq;  // max-heap on cost
+    for (uint32_t a = 0; a < (uint32_t)n_nodes; ++a)
+        for (auto& kv : adj[a])
+            if (kv.first > a && kv.second > 0) pq.push({kv.second, a, kv.first});
+
+    while (!pq.empty()) {
+        QE e = pq.top(); pq.pop();
+        uint32_t ra = uf.find(e.a), rb = uf.find(e.b);
+        if (ra == rb) continue;
+        auto it = adj[ra].find(rb);
+        if (it == adj[ra].end()) continue;
+        if (it->second != e.c) {  // stale
+            if (it->second > 0) pq.push({it->second, ra, rb});
+            continue;
+        }
+        if (e.c <= 0) break;
+        if (adj[ra].size() < adj[rb].size()) std::swap(ra, rb);
+        uint32_t keep = uf.merge(ra, rb);
+        if (keep != ra) std::swap(ra, rb);
+        adj[ra].erase(rb);
+        for (auto& kv : adj[rb]) {
+            uint32_t rc = uf.find(kv.first);
+            if (rc == ra) continue;
+            auto ic = adj[rc].find(rb);
+            if (ic != adj[rc].end()) {
+                double v = ic->second;
+                adj[rc].erase(ic);
+                adj[rc][ra] += v;
+            }
+            adj[ra][rc] += kv.second;
+            if (adj[ra][rc] > 0) pq.push({adj[ra][rc], ra, rc});
+        }
+        adj[rb].clear();
+    }
+
+    if (do_local_search) {
+        // greedy single-node moves: move a node to a neighboring component if
+        // it improves the multicut objective; a light Kernighan-Lin pass.
+        std::vector<std::unordered_map<uint32_t, double>> nadj((size_t)n_nodes);
+        for (int64_t i = 0; i < n_edges; ++i) {
+            uint32_t a = (uint32_t)uv[2 * i], b = (uint32_t)uv[2 * i + 1];
+            if (a == b) continue;
+            nadj[a][b] += costs[i];
+            nadj[b][a] += costs[i];
+        }
+        std::vector<uint32_t> comp((size_t)n_nodes);
+        for (int64_t v = 0; v < n_nodes; ++v) comp[v] = uf.find((uint32_t)v);
+        bool changed = true;
+        int iters = 0;
+        while (changed && iters < 3) {
+            changed = false;
+            ++iters;
+            for (int64_t v = 0; v < n_nodes; ++v) {
+                // gain of moving v from comp[v] to candidate component
+                std::unordered_map<uint32_t, double> gain;
+                double stay = 0;
+                for (auto& kv : nadj[v]) {
+                    if (comp[kv.first] == comp[v]) stay += kv.second;
+                    else gain[comp[kv.first]] += kv.second;
+                }
+                uint32_t best = comp[v];
+                double best_gain = 0;
+                for (auto& kv : gain) {
+                    double g = kv.second - stay;
+                    if (g > best_gain) { best_gain = g; best = kv.first; }
+                }
+                if (best != comp[v]) { comp[v] = best; changed = true; }
+            }
+        }
+        std::unordered_map<uint32_t, uint64_t> remap;
+        uint64_t next = 0;
+        for (int64_t v = 0; v < n_nodes; ++v) {
+            auto it = remap.find(comp[v]);
+            if (it == remap.end()) { remap[comp[v]] = next; node_labels[v] = next; ++next; }
+            else node_labels[v] = it->second;
+        }
+        return (int64_t)next;
+    }
+
+    std::unordered_map<uint32_t, uint64_t> remap;
+    uint64_t next = 0;
+    for (int64_t v = 0; v < n_nodes; ++v) {
+        uint32_t r = uf.find((uint32_t)v);
+        auto it = remap.find(r);
+        if (it == remap.end()) { remap[r] = next; node_labels[v] = next; ++next; }
+        else node_labels[v] = it->second;
+    }
+    return (int64_t)next;
+}
+
+}  // extern "C"

@@ -15,10 +15,10 @@ def np_normalize(e, axis=-1, eps=1e-12):
 
 
 def brute_affinity_2d(emb, offsets, padding):
-    """Direct per-pixel oracle. emb (B,H,W,C)."""
+    """Direct per-pixel oracle. emb (B,H,W,C) -> (B,K,H,W)."""
     n = np_normalize(emb)
     b, h, w, c = n.shape
-    out = np.zeros((b, h, w, len(offsets)), np.float32)
+    out = np.zeros((b, len(offsets), h, w), np.float32)
     for k, (oy, ox) in enumerate(offsets):
         for y in range(h):
             for x in range(w):
@@ -27,7 +27,7 @@ def brute_affinity_2d(emb, offsets, padding):
                     yy, xx = yy % h, xx % w
                 elif not (0 <= yy < h and 0 <= xx < w):
                     continue
-                out[:, y, x, k] = (n[:, y, x] * n[:, yy, xx]).sum(-1)
+                out[:, k, y, x] = (n[:, y, x] * n[:, yy, xx]).sum(-1)
     return out
 
 
@@ -65,7 +65,7 @@ def brute_affinity_3d(emb, shifts):
     n = np_normalize(emb)
     b, d, h, w, c = n.shape
     dims = (d, h, w)
-    out = np.zeros((b, d, h, w, len(shifts)), np.float32)
+    out = np.zeros((b, len(shifts), d, h, w), np.float32)
     for i, s in enumerate(shifts):
         ax = i % 3
         off = [0, 0, 0]
@@ -75,7 +75,7 @@ def brute_affinity_3d(emb, shifts):
                 for x in range(w):
                     q = (z + off[0], y + off[1], x + off[2])
                     if all(0 <= qi < di for qi, di in zip(q, dims)):
-                        out[:, z, y, x, i] = (n[:, z, y, x] * n[:, q[0], q[1], q[2]]).sum(-1)
+                        out[:, i, z, y, x] = (n[:, z, y, x] * n[:, q[0], q[1], q[2]]).sum(-1)
     return out
 
 
@@ -92,5 +92,5 @@ def test_affinity_3d_unit_norm_self():
     """With constant embeddings all valid affinities are exactly 1."""
     emb = jnp.ones((1, 5, 8, 8, 3))
     affs = np.asarray(embedding_to_affinity_3d(emb, (1, 1, 1)))
-    assert np.allclose(affs[:, 1:, :, :, 0], 1.0, atol=1e-6)
-    assert np.allclose(affs[:, 0, :, :, 0], 0.0)
+    assert np.allclose(affs[:, 0, 1:], 1.0, atol=1e-6)
+    assert np.allclose(affs[:, 0, 0], 0.0)

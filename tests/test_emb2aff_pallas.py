@@ -1,0 +1,83 @@
+"""Fused Pallas kernel vs the jnp oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pixel_embedded_affinity_tpu.ops import (
+    embedding_to_affinity_2d, embedding_to_affinity_3d, multi_offset,
+)
+from pixel_embedded_affinity_tpu.ops.emb2aff_pallas import (
+    fused_affinity_2d, fused_affinity_3d,
+)
+
+INTERPRET = jax.devices()[0].platform != "tpu"
+
+
+def test_fused_2d_matches_oracle():
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(2, 96, 80, 16)).astype(np.float32)
+    offsets = multi_offset([1, 3, 5, 9, 27], neighbor=4)
+    got = np.asarray(fused_affinity_2d(jnp.asarray(emb), tuple(map(tuple, offsets)),
+                                       64, INTERPRET))
+    exp = np.asarray(embedding_to_affinity_2d(jnp.asarray(emb), offsets,
+                                              padding="valid"))
+    np.testing.assert_allclose(got, exp, atol=1e-5)
+
+
+def test_fused_2d_neighbor8():
+    rng = np.random.default_rng(1)
+    emb = rng.normal(size=(1, 64, 70, 8)).astype(np.float32)
+    offsets = multi_offset([1, 3], neighbor=8)
+    got = np.asarray(fused_affinity_2d(jnp.asarray(emb), tuple(map(tuple, offsets)),
+                                       64, INTERPRET))
+    exp = np.asarray(embedding_to_affinity_2d(jnp.asarray(emb), offsets,
+                                              padding="valid"))
+    np.testing.assert_allclose(got, exp, atol=1e-5)
+
+
+def test_fused_2d_nondivisible_height():
+    rng = np.random.default_rng(2)
+    emb = rng.normal(size=(1, 100, 90, 8)).astype(np.float32)
+    offsets = multi_offset([1, 5], neighbor=4)
+    got = np.asarray(fused_affinity_2d(jnp.asarray(emb), tuple(map(tuple, offsets)),
+                                       32, INTERPRET))
+    exp = np.asarray(embedding_to_affinity_2d(jnp.asarray(emb), offsets,
+                                              padding="valid"))
+    np.testing.assert_allclose(got, exp, atol=1e-5)
+
+
+def test_fused_2d_gradient_matches_oracle():
+    rng = np.random.default_rng(3)
+    emb = jnp.asarray(rng.normal(size=(1, 32, 40, 4)).astype(np.float32))
+    offsets = ((-1, 0), (0, -1), (-3, 0), (0, -3))
+
+    def loss_fused(e):
+        return jnp.sum(fused_affinity_2d(e, offsets, 32, INTERPRET) ** 2)
+
+    def loss_oracle(e):
+        return jnp.sum(embedding_to_affinity_2d(e, offsets, padding="valid") ** 2)
+
+    g1 = jax.grad(loss_fused)(emb)
+    g2 = jax.grad(loss_oracle)(emb)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_fused_3d_matches_oracle():
+    rng = np.random.default_rng(4)
+    emb = rng.normal(size=(1, 6, 64, 70, 8)).astype(np.float32)
+    shifts = (1, 1, 1, 2, 3, 3, 3, 9, 9, 4, 27, 27)
+    got = np.asarray(fused_affinity_3d(jnp.asarray(emb), shifts, 32, INTERPRET))
+    exp = np.asarray(embedding_to_affinity_3d(jnp.asarray(emb), shifts))
+    np.testing.assert_allclose(got, exp, atol=1e-5)
+
+
+def test_fused_3d_gradient():
+    rng = np.random.default_rng(5)
+    emb = jnp.asarray(rng.normal(size=(1, 4, 32, 32, 4)).astype(np.float32))
+    shifts = (1, 1, 1, 2, 3, 3)
+
+    g1 = jax.grad(lambda e: jnp.sum(fused_affinity_3d(e, shifts, 32, INTERPRET) ** 2))(emb)
+    g2 = jax.grad(lambda e: jnp.sum(embedding_to_affinity_3d(e, shifts) ** 2))(emb)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)

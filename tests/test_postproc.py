@@ -1,0 +1,129 @@
+"""Round-trip tests for the native post-processing stack."""
+
+import numpy as np
+import pytest
+
+from synth import blob_labels, tile_labels_3d, partitions_equal
+
+from pixel_embedded_affinity_tpu.ops import gen_affs, multi_offset
+from pixel_embedded_affinity_tpu.ops.affinity_np import seg_to_aff_3d
+from pixel_embedded_affinity_tpu.postproc import (
+    seg_mutex, seeded_watershed, get_seeds, watershed_from_affs,
+    agglomerate, seg_waterz, mc_baseline,
+    merge_small_object, merge_func, remove_small_object, merge_small_segments,
+)
+
+
+def test_mutex_recovers_gt_2d():
+    lab = blob_labels(64, 64, grid=3, radius=8)
+    offsets = multi_offset([1, 3, 5], neighbor=4)
+    affs, _ = gen_affs(lab, offsets, ignore=True, padding=False)
+    mask = (lab > 0).astype(np.uint8)
+    seg = seg_mutex(affs, offsets=offsets, strides=[2, 2], mask=mask)
+    assert partitions_equal(seg, lab)
+
+
+def test_mutex_3d_runs_and_recovers():
+    lab = tile_labels_3d(6, 32, 32, nz=1, ny=2, nx=2)
+    offsets = [[-1, 0, 0], [0, -1, 0], [0, 0, -1],
+               [0, -3, 0], [0, 0, -3]]
+    affs = seg_to_aff_3d(lab, offsets, pad="")
+    seg = seg_mutex(affs, offsets=offsets, strides=[1, 2, 2])
+    assert partitions_equal(seg, lab, ignore_zero=False)
+
+
+def test_mutex_randomized_strides():
+    lab = blob_labels(48, 48, grid=2, radius=9, seed=3)
+    offsets = multi_offset([1, 5], neighbor=4)
+    affs, _ = gen_affs(lab, offsets, ignore=True, padding=False)
+    seg = seg_mutex(affs, offsets=offsets, strides=[2, 2],
+                    randomize_strides=True, mask=(lab > 0).astype(np.uint8),
+                    seed=42)
+    assert partitions_equal(seg, lab)
+
+
+def test_seeded_watershed_two_basins():
+    cost = np.zeros((8, 10), np.float32)
+    cost[:, 5] = 1.0  # ridge
+    seeds = np.zeros((8, 10), np.int32)
+    seeds[4, 1] = 1
+    seeds[4, 8] = 2
+    out = seeded_watershed(cost, seeds)
+    assert (out[:, :5] == 1).all()
+    assert (out[:, 6:] == 2).all()
+
+
+def test_get_seeds_grid():
+    b = np.zeros((20, 30), np.float32)
+    seeds, num = get_seeds(b, method="grid", seed_distance=10)
+    assert num == 2 * 3
+    assert seeds.max() == 6
+
+
+def test_agglomerate_merges_oversegmentation():
+    # two true boxes, each split into two fragments
+    frag = np.zeros((1, 8, 16), np.uint64)
+    frag[0, :, :4] = 1
+    frag[0, :, 4:8] = 2
+    frag[0, :, 8:12] = 3
+    frag[0, :, 12:] = 4
+    true = np.zeros_like(frag)
+    true[0, :, :8] = 1
+    true[0, :, 8:] = 2
+    affs = np.zeros((3, 1, 8, 16), np.float32)
+    # x-affinity: 1 within true object, 0 across the object boundary at x=8
+    affs[2, :, :, :] = 1.0
+    affs[2, 0, :, 8] = 0.0
+    affs[0] = 1.0
+    affs[1] = 1.0
+    seg = agglomerate(affs, frag, threshold=0.5)
+    assert partitions_equal(seg, true, ignore_zero=False)
+
+
+def test_seg_waterz_2d_end_to_end():
+    lab = blob_labels(64, 64, grid=2, radius=12)
+    affs, _ = gen_affs(lab, [[-1, 0], [0, -1]], ignore=True, padding=False)
+    seg = seg_waterz(affs)
+    # fragments cover everything; foreground instances must be separated
+    from pixel_embedded_affinity_tpu.metrics import adapted_rand_error
+    are = adapted_rand_error(lab, seg.astype(np.int64))[0]
+    assert are < 0.25
+
+
+def test_mc_baseline_3d():
+    lab = tile_labels_3d(4, 40, 40, nz=1, ny=2, nx=2)
+    affs = seg_to_aff_3d(lab, ((-1, 0, 0), (0, -1, 0), (0, 0, -1)), pad="replicate")
+    seg = mc_baseline(affs)
+    from pixel_embedded_affinity_tpu.metrics import adapted_rand_error
+    are = adapted_rand_error(lab, seg.astype(np.int64) + 1)[0]
+    assert are < 0.1
+
+
+def test_merge_small_object():
+    # reference only merges when the window sees >2 distinct values
+    seg = np.ones((10, 10), np.int32) * 7
+    seg[5, 5] = 3        # single-pixel instance
+    seg[3, 3:7] = 0      # background band inside the window, big enough to stay
+    seg[0, :] = 0
+    out = merge_small_object(seg.copy())
+    assert out[5, 5] == 7 and (out != 3).all()
+
+    seg2 = merge_func(np.ones((6, 6), np.int32))
+    assert (seg2 == 1).all()
+
+
+def test_remove_small_object():
+    m = np.zeros((20, 20), np.uint8)
+    m[:10, :10] = 1   # big component (100 px)
+    m[15, 15] = 1     # speck
+    out = remove_small_object(m, min_size=25)
+    assert out[5, 5] == 1 and out[15, 15] == 0
+
+
+def test_merge_small_segments():
+    seg = np.ones((10, 10), np.int64)
+    seg[:, 6:] = 2
+    seg[4:6, 4:6] = 3  # small segment bordering 1 (left) mostly
+    out = merge_small_segments(seg, min_seg_size=5)
+    # 3 merged into the neighbor with the longest shared boundary
+    assert len(np.unique(out)) == 2
