@@ -1,0 +1,87 @@
+"""Headline benchmark: megapixels/sec/chip for embedding->affinity inference.
+
+Flagship config (BASELINE config 1): CVPPP-scale 544x544 RGB through
+ResUNet2D-deep + fused Pallas embedding->affinity (10 offsets).
+
+Baseline for `vs_baseline`: the reference-faithful computation graph — the
+same model with the reference's per-offset roll+multiply+reduce affinity
+chain (scripts_cvppp/loss/loss_embedding_mse.py:58-66 semantics, circular
+roll) — compiled by XLA on the SAME chip. This isolates the framework-level
+win (fused kernel + layout) from hardware differences.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pixel_embedded_affinity_tpu.models import ResidualUNet2DDeep
+    from pixel_embedded_affinity_tpu.ops import multi_offset
+    from pixel_embedded_affinity_tpu.ops.emb2aff import normalize_embedding
+    from pixel_embedded_affinity_tpu.ops.emb2aff_pallas import fused_affinity_2d
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    B, H, W = 4, 544, 544
+    model = ResidualUNet2DDeep(out_channels=2,
+                               nfeatures=(16, 32, 64, 128, 256), emd=16)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(B, H, W, 3)).astype(np.float32))
+    variables = model.init(rng, x[:1], train=False)
+    offsets = tuple(map(tuple, multi_offset([1, 3, 5, 9, 27], neighbor=4)))
+
+    def fwd_embedding(image):
+        _, _, _, _, embedding, _ = model.apply(variables, image, train=False)
+        return embedding
+
+    @jax.jit
+    def ours(image):
+        emb = fwd_embedding(image)
+        if on_tpu:
+            return jax.nn.relu(fused_affinity_2d(emb, offsets, 32, False))
+        from pixel_embedded_affinity_tpu.ops import embedding_to_affinity_2d
+
+        return jax.nn.relu(embedding_to_affinity_2d(emb, offsets))
+
+    @jax.jit
+    def reference_style(image):
+        # reference embedding2affs: normalize then per-offset circular roll +
+        # channel-dot, one full pass per offset
+        emb = fwd_embedding(image)
+        n = normalize_embedding(emb, axis=-1)
+        chans = []
+        for oy, ox in offsets:
+            shifted = jnp.roll(n, shift=(-oy, -ox), axis=(1, 2))
+            chans.append(jnp.sum(n * shifted, axis=-1))
+        return jax.nn.relu(jnp.stack(chans, axis=1))
+
+    def timeit(fn, iters=30):
+        fn(x).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(x)
+        out.block_until_ready()
+        return (time.perf_counter() - t0) / iters
+
+    dt_ours = timeit(ours)
+    dt_ref = timeit(reference_style)
+    mp = B * H * W / 1e6
+    value = mp / dt_ours
+    baseline = mp / dt_ref
+    print(json.dumps({
+        "metric": "megapixels/sec/chip emb2aff inference (ResUNet2D 544x544)",
+        "value": round(value, 2),
+        "unit": "MP/s/chip",
+        "vs_baseline": round(value / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Inference CLI: python inference.py -c cvppp -ck <ckpt> [-m validation|test]
+
+2D presets decode with mutex watershed + small-object merging and report
+SBD/DiC/VOI/ARAND (CVPPP) or AJI/F1/PQ (BBBC); ac3ac4 runs the tiled 3D
+engine with mutex/waterz/multicut decoders and reports VOI/ARAND.
+"""
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--cfg", type=str, default="cvppp")
+    parser.add_argument("-ck", "--checkpoint", type=str, required=True)
+    parser.add_argument("-m", "--mode", type=str, default="validation")
+    parser.add_argument("--out", type=str, default=None)
+    parser.add_argument("--torch-ckpt", action="store_true",
+                        help="checkpoint is a reference torch .ckpt file")
+    args = parser.parse_args()
+
+    from pixel_embedded_affinity_tpu.config import load_config
+    from pixel_embedded_affinity_tpu.train.loop import build_dataset
+
+    cfg = load_config(args.cfg)
+
+    if args.torch_ckpt:
+        from pixel_embedded_affinity_tpu.train.convert_torch import (
+            load_torch_state_dict, convert_resunet2d_deep,
+            convert_unet_pni_deep, to_jax_variables)
+
+        sd = load_torch_state_dict(args.checkpoint)
+        conv = (convert_unet_pni_deep if cfg.model.arch == "unet_pni_deep"
+                else convert_resunet2d_deep)
+        variables = to_jax_variables(conv(sd))
+    else:
+        from pixel_embedded_affinity_tpu.train.checkpoint import load_checkpoint
+
+        restored = load_checkpoint(args.checkpoint)
+        variables = {"params": restored["params"],
+                     "batch_stats": restored.get("batch_stats", {})}
+
+    if cfg.model.arch in ("unet_pni_deep", "unet3d_mala"):
+        from pixel_embedded_affinity_tpu.data.ac3ac4 import AC3AC4ValidVolume
+        from pixel_embedded_affinity_tpu.infer import run_inference_3d
+
+        vol = AC3AC4ValidVolume(cfg.data.data_folder,
+                                dataset_name="ac3" if args.mode == "test"
+                                else cfg.data.dataset_name,
+                                mode=args.mode)
+        _, results = run_inference_3d(cfg, variables, vol.raw, gt=vol.label)
+        for dec, (seg, m) in results.items():
+            print(dec, json.dumps(m))
+    else:
+        from pixel_embedded_affinity_tpu.infer import run_inference_2d
+
+        _, valid = build_dataset(cfg)
+        per_image, agg = run_inference_2d(cfg, variables, valid,
+                                          out_dir=args.out,
+                                          save_h5=args.out is not None)
+        print(json.dumps(agg))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""Config system: dataclasses + YAML overlays + per-dataset presets.
+
+Replaces the reference's AttrDict(yaml.load(...)) (scripts_cvppp/main.py:
+473-474) with typed sections (NAME/MODEL/TRAIN/DATA/TEST preserved as
+field groups), defaults, and validation. Presets mirror
+scripts_{cvppp,bbbc039v1,ac3ac4}/config/*.yaml.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class ModelConfig:
+    arch: str = "resunet2d_deep"  # resunet2d_deep | unet_pni_deep | unet3d_mala
+    input_nc: int = 3
+    output_nc: int = 2
+    emd: int = 16
+    filters: tuple = (16, 32, 64, 128, 256)
+    merge_mode: str = "add"
+    dtype: str = "float32"  # or bfloat16 compute
+
+
+@dataclass
+class TrainConfig:
+    loss_func: str = "WeightedMSELoss"
+    affs0_weight: float = 1.0
+    deep_weight: int = 1
+    self_emb: float = 1.0
+    cross_emb: float = 1.0
+    mask_weight: float = 0.0
+    ct_weight: float = 0.0
+    embedding_mode: int = 5  # 3D: norm1 | norm5
+    opt_type: str = "adam"
+    lr_mode: str = "fixed"
+    base_lr: float = 1e-4
+    end_lr: float = 1e-4
+    total_iters: int = 200000
+    warmup_iters: int = 0
+    decay_iters: int = 100000
+    power: float = 1.5
+    weight_decay: float = 1e-6
+    batch_size: int = 2
+    num_workers: int = 2
+    display_freq: int = 100
+    valid_freq: int = 1000
+    save_freq: int = 1000
+    random_seed: int = 555
+    resume: bool = False
+    if_valid: bool = True
+    use_pallas: bool = True
+
+
+@dataclass
+class DataConfig:
+    dataset: str = "cvppp"  # cvppp | bbbc039v1 | ac3ac4 | synthetic variants
+    data_folder: str = "./data/CVPPP"
+    size: int = 544
+    shifts: tuple = (1, 3, 5, 9, 27)
+    neighbor: int = 4
+    strides: tuple = (5, 5)
+    padding: bool = True
+    separate_weight: bool = True
+    valid_set: str = "local_20_1"
+    if_ema_noise: bool = False
+    if_ema_blur: bool = False
+    if_ema_intensity: bool = True
+    if_ema_mask: bool = True
+    if_ema_flip: bool = True
+    # 3D
+    dataset_name: str = "ac4"
+    train_split: int = 80
+    crop_size: tuple = (18, 160, 160)
+    padding_3d: int = 50
+
+
+@dataclass
+class Config:
+    name: str = "cvppp"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    cache_path: str = "./caches"
+    save_path: str = "./models"
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+def _apply(dc, overrides: dict):
+    for k, v in overrides.items():
+        if not hasattr(dc, k):
+            raise KeyError(f"unknown config key: {type(dc).__name__}.{k}")
+        cur = getattr(dc, k)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            _apply(cur, v)
+        else:
+            if isinstance(cur, tuple) and isinstance(v, (list, tuple)):
+                v = tuple(v)
+            setattr(dc, k, v)
+
+
+PRESETS: dict[str, dict[str, Any]] = {
+    # scripts_cvppp/config/cvppp.yaml parity
+    "cvppp": {
+        "name": "cvppp",
+        "model": {"arch": "resunet2d_deep", "input_nc": 3, "output_nc": 2,
+                  "filters": (16, 32, 64, 128, 256)},
+        "train": {"mask_weight": 0.0, "ct_weight": 0.0, "lr_mode": "fixed",
+                  "base_lr": 1e-4, "batch_size": 2},
+        "data": {"dataset": "cvppp", "size": 544,
+                 "shifts": (1, 3, 5, 9, 27), "strides": (5, 5)},
+    },
+    # scripts_bbbc039v1/config/bbbc039v1.yaml parity
+    "bbbc039v1": {
+        "name": "bbbc039v1",
+        "model": {"arch": "resunet2d_deep", "input_nc": 3, "output_nc": 2,
+                  "filters": (16, 32, 64, 128, 256)},
+        "train": {"mask_weight": 1000.0, "lr_mode": "fixed",
+                  "base_lr": 1e-4, "batch_size": 2},
+        "data": {"dataset": "bbbc039v1", "size": 256,
+                 "shifts": (1, 3, 5, 9, 11), "strides": (10, 10)},
+    },
+    # scripts_ac3ac4/config/ac3ac4.yaml parity
+    "ac3ac4": {
+        "name": "ac3ac4",
+        "model": {"arch": "unet_pni_deep", "input_nc": 1, "output_nc": 12,
+                  "filters": (28, 36, 48, 64, 80)},
+        "train": {"embedding_mode": 5, "lr_mode": "fixed", "base_lr": 1e-4,
+                  "batch_size": 2},
+        "data": {"dataset": "ac3ac4", "dataset_name": "ac4",
+                 "train_split": 80, "crop_size": (18, 160, 160),
+                 "padding_3d": 50},
+    },
+}
+
+
+def load_config(preset: str | None = None, yaml_path: str | None = None,
+                overrides: dict | None = None) -> Config:
+    cfg = Config()
+    if preset is not None:
+        _apply(cfg, PRESETS[preset])
+    if yaml_path is not None:
+        import yaml
+
+        with open(yaml_path) as f:
+            _apply(cfg, yaml.safe_load(f))
+    if overrides:
+        _apply(cfg, overrides)
+    return cfg

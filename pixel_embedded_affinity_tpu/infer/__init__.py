@@ -1,0 +1,2 @@
+from .inference2d import run_inference_2d
+from .inference3d import run_inference_3d

@@ -1,0 +1,112 @@
+"""2D inference driver (CVPPP / BBBC039V1).
+
+Mirrors scripts_cvppp/inference.py / scripts_bbbc039v1/inference.py: load
+checkpoint -> forward -> fused embedding->affinity -> mutex watershed (GT FG
+mask for CVPPP; cleaned predicted mask for BBBC) -> merge_small -> relabel ->
+metrics; writes seg/affs HDF5 and the CodaLab-format submission for CVPPP
+test mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..config import Config
+from ..ops import multi_offset
+from ..ops.affinity_np import relabel
+from ..postproc import seg_mutex, merge_func
+from ..postproc.merge_small import remove_small_object
+from ..metrics import (
+    symmetric_best_dice, abs_diff_fg_labels, voi, adapted_rand_error,
+    agg_jc_index, pixel_f1, get_fast_pq, remap_label,
+)
+
+
+def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None,
+                     use_pallas: bool | None = None, save_h5: bool = False):
+    """Returns per-image metric dict list + aggregate means."""
+    import jax
+
+    from ..train.loop import build_model
+
+    model = build_model(cfg)
+    offsets = multi_offset(list(cfg.data.shifts), neighbor=cfg.data.neighbor)
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+
+    from ..ops.emb2aff_pallas import fused_affinity_2d
+    from ..ops import embedding_to_affinity_2d
+
+    offsets_t = tuple(map(tuple, offsets))
+
+    @jax.jit
+    def forward(image):
+        _, _, _, _, embedding, pred_mask = model.apply(variables, image,
+                                                       train=False)
+        if use_pallas:
+            affs = fused_affinity_2d(embedding, offsets_t, 32, False)
+        else:
+            affs = embedding_to_affinity_2d(embedding, offsets_t)
+        return jax.nn.relu(affs), embedding, pred_mask
+
+    results = []
+    segs = []
+    all_affs = []
+    for i in range(len(dataset)):
+        s = dataset[i]
+        affs, embedding, pred_mask = forward(s["image"][None])
+        out_affs = np.asarray(affs)[0]
+        gt = s["seg"].astype(np.uint16)
+        if cfg.train.mask_weight:
+            pm = np.asarray(jax.nn.softmax(pred_mask[0], axis=-1))
+            fg = (np.argmax(pm, axis=-1) > 0).astype(np.uint8)
+            fg = remove_small_object(fg, min_size=25)
+        else:
+            fg = (gt > 0).astype(np.uint8)
+        seg = seg_mutex(out_affs, offsets=offsets,
+                        strides=list(cfg.data.strides), mask=fg)
+        seg = merge_func(seg.astype(np.uint16),
+                         variant="bbbc" if cfg.train.mask_weight else "cvppp")
+        seg = relabel(seg).astype(np.uint16)
+        segs.append(seg)
+        all_affs.append(out_affs)
+
+        m = {"SBD": symmetric_best_dice(seg, gt),
+             "DiC": abs_diff_fg_labels(seg, gt)}
+        vs, vm = voi(gt, seg)
+        m["VOI"] = vs + vm
+        m["ARAND"] = adapted_rand_error(gt, seg)[0]
+        if cfg.train.mask_weight:  # bbbc metric family
+            gtr = remap_label(gt.astype(np.int64))
+            pr = remap_label(seg.astype(np.int64))
+            m["AJI"] = agg_jc_index(gtr, pr)
+            m["F1"] = pixel_f1(gtr, pr)
+            (dq, sq, pq), _ = get_fast_pq(gtr, pr)
+            m.update({"DQ": dq, "SQ": sq, "PQ": pq})
+        results.append(m)
+
+    agg = {k: float(np.mean([r[k] for r in results]))
+           for k in results[0]} if results else {}
+    if out_dir and save_h5:
+        import h5py
+
+        os.makedirs(out_dir, exist_ok=True)
+        with h5py.File(os.path.join(out_dir, "seg.hdf"), "w") as f:
+            f.create_dataset("main", data=np.stack(segs), compression="gzip")
+        with h5py.File(os.path.join(out_dir, "affs.hdf"), "w") as f:
+            f.create_dataset("main", data=np.stack(all_affs),
+                             compression="gzip")
+    return results, agg
+
+
+def write_cvppp_submission(segs: list[np.ndarray], names: list[str],
+                           out_path: str, pad=(7, 22)):
+    """CodaLab submission.h5: A1/plantXXX/label datasets, padding stripped."""
+    import h5py
+
+    with h5py.File(out_path, "w") as f:
+        for seg, name in zip(segs, names):
+            s = seg[pad[0]:-pad[0], pad[1]:-pad[1]] if pad[0] else seg
+            f.create_dataset(f"A1/{name}/label", data=s.astype(np.uint8))

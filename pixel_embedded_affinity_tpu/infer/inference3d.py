@@ -1,0 +1,74 @@
+"""3D inference driver (AC3/AC4): tiled forward + three decoders.
+
+Mirrors scripts_ac3ac4/inference.py: tiled sliding-window forward with
+Gaussian blending over the full volume, then optional decoders on the
+stitched (12, Z, H, W) canvas: mutex watershed with the 12-offset shift
+table (strides [1,10,10]), waterz-style mean-affinity agglomeration at 0.5
+on the first 3 channels, and multicut; VOI/ARAND per decoder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import Config
+from ..ops.offsets import offsets_3d, SHIFTS_3D
+from ..ops.affinity_np import relabel
+from ..parallel import TiledInference3D
+from ..postproc import seg_mutex, seg_waterz, mc_baseline
+from ..postproc.watershed import watershed_from_affs
+from ..postproc.agglomerate import agglomerate
+from ..metrics import voi, adapted_rand_error
+
+
+def run_inference_3d(cfg: Config, variables, volume: np.ndarray,
+                     gt: np.ndarray | None = None,
+                     decoders=("mutex", "waterz", "lmc"),
+                     crop_size=(18, 160, 160), stride=(10, 80, 80),
+                     padding=(4, 48, 48), batch_size: int = 8,
+                     use_pallas: bool | None = None):
+    """Returns (affs canvas (12,Z,H,W), {decoder: (seg, metrics)})."""
+    import jax
+
+    from ..train.loop import build_model
+    from ..ops.emb2aff_pallas import fused_affinity_3d
+    from ..ops import embedding_to_affinity_3d
+
+    model = build_model(cfg)
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+
+    @jax.jit
+    def predict(tiles):  # (B, d, h, w, 1) -> (B, 12, d, h, w)
+        outs = model.apply(variables, tiles, train=False)
+        embedding = outs[-1] if isinstance(outs, (tuple, list)) else outs
+        if use_pallas:
+            affs = fused_affinity_3d(embedding, tuple(SHIFTS_3D), 32, False)
+        else:
+            affs = embedding_to_affinity_3d(embedding, tuple(SHIFTS_3D))
+        return jax.nn.relu(affs)
+
+    engine = TiledInference3D(crop_size=crop_size, stride=stride,
+                              padding=padding, batch_size=batch_size)
+    affs = engine.run(volume, predict, n_channels=len(SHIFTS_3D))
+
+    out = {}
+    for dec in decoders:
+        if dec == "mutex":
+            seg = seg_mutex(affs, offsets=offsets_3d(),
+                            strides=[1, 10, 10]).astype(np.uint64)
+        elif dec == "waterz":
+            fragments = watershed_from_affs(affs[:3])
+            seg = agglomerate(affs[:3], fragments, threshold=0.5)
+        elif dec == "lmc":
+            seg = mc_baseline(affs[:3])
+        else:
+            raise ValueError(dec)
+        seg = relabel(seg.astype(np.int64))
+        metrics = {}
+        if gt is not None:
+            vs, vm = voi(gt, seg)
+            metrics = {"voi_split": vs, "voi_merge": vm, "voi": vs + vm,
+                       "arand": adapted_rand_error(gt, seg)[0]}
+        out[dec] = (seg, metrics)
+    return affs, out

@@ -122,6 +122,37 @@ def seg_to_aff_3d_12ch(seg: np.ndarray) -> np.ndarray:
     return np.concatenate([seg_to_aff_3d(seg, g, pad="") for g in groups], axis=0)
 
 
+def gen_affs_mutex_3d(labels: np.ndarray, offsets, padding: bool = True,
+                      background: bool = False) -> np.ndarray:
+    """Mutex-style GT for arbitrary 3D offsets (gen_affs_mutex_3d parity).
+
+    Channel c at voxel p (both p and p+offsets[c] in bounds): 1 iff
+    labels[p] == labels[p+o] (and both > 0 unless ``background``).
+    Out-of-bounds region: foreground mask if ``padding`` else 0.
+    """
+    labels = np.asarray(labels)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = offsets.shape[0]
+    affs = np.zeros((n,) + labels.shape, dtype=np.float32)
+    fg = (labels > 0).astype(np.float32)
+    for c in range(n):
+        sl_a, sl_b = [], []
+        for d in range(3):
+            o = int(offsets[c, d])
+            size = labels.shape[d]
+            sl_a.append(slice(max(0, -o), min(size, size - o)))
+            sl_b.append(slice(max(0, o), min(size, size + o)))
+        a = labels[tuple(sl_a)]
+        b = labels[tuple(sl_b)]
+        eq = (a == b).astype(np.float32)
+        if not background:
+            eq = eq * (a > 0) * (b > 0)
+        if padding:
+            affs[c] = fg
+        affs[(c,) + tuple(sl_a)] = eq
+    return affs
+
+
 def weight_binary_ratio(label: np.ndarray, mask: np.ndarray | None = None,
                         alpha: float = 1.0) -> np.ndarray:
     """Inverse class-frequency weights for a binary target.

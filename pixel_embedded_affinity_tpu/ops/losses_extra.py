@@ -1,0 +1,117 @@
+"""Loss ablation family (JAX).
+
+Ports of the reference's alternative losses:
+* discriminative_loss ~ scripts_cvppp/loss/loss_discriminative.py:7-63
+  (pull/push/reg, delta_v=0.5, delta_d=1.5) — jit-compatible via a fixed
+  max-instances segment-sum formulation instead of per-label Python loops.
+* cosine-similarity variant (mode='official' / loss_embedding_exp.py):
+  affinities clamped to [0, 1].
+* distance-based embeddings_to_affinities ~ utils/emb2affs.py:63-75:
+  ((2*delta - ||e - e'||) / (2*delta)) clamped at 0, squared; replication-pad
+  shift semantics.
+* rescaled (a+1)/2 variant ~ scripts_ac3ac4/loss/loss_embedding_mse.py
+  norm2 (embedding2affs_3d ablations).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .emb2aff import normalize_embedding, _valid_mask_2d
+
+
+def discriminative_loss(embedding_bhwc, seg_b, max_instances: int = 64,
+                        delta_v: float = 0.5, delta_d: float = 1.5,
+                        alpha: float = 1.0, beta: float = 1.0,
+                        gamma: float = 0.001, include_background: bool = True):
+    """Pull-push discriminative loss over instance centroids.
+
+    seg_b: (B, H, W) int labels. Labels are bucketed into [0, max_instances);
+    like the reference, background (0) participates as a cluster.
+    """
+    b, h, w, c = embedding_bhwc.shape
+    emb = embedding_bhwc.reshape(b, h * w, c)
+    seg = seg_b.reshape(b, h * w).astype(jnp.int32)
+    if not include_background:
+        valid = seg > 0
+    else:
+        valid = jnp.ones_like(seg, dtype=bool)
+    seg = jnp.clip(seg, 0, max_instances - 1)
+
+    onehot = jax.nn.one_hot(seg, max_instances, dtype=emb.dtype)
+    onehot = onehot * valid[..., None]
+    counts = onehot.sum(axis=1)  # (B, K)
+    present = counts > 0
+    sums = jnp.einsum("bnk,bnc->bkc", onehot, emb)
+    means = sums / jnp.maximum(counts[..., None], 1.0)  # (B, K, C)
+
+    # var (pull) loss: mean over pixels of relu(||e - mu|| - dv)^2, per label
+    mu_per_pixel = jnp.einsum("bnk,bkc->bnc", onehot, means)
+    dist = jnp.linalg.norm(emb - mu_per_pixel, axis=-1)
+    hinge = jax.nn.relu(dist - delta_v) ** 2
+    per_label = jnp.einsum("bnk,bn->bk", onehot, hinge) / jnp.maximum(counts, 1.0)
+    num_id = present.sum(axis=1).astype(emb.dtype)
+    var_loss = (per_label.sum(axis=1) / jnp.maximum(num_id, 1.0)).mean()
+
+    # dist (push) loss between centroids
+    d = jnp.linalg.norm(means[:, :, None] - means[:, None, :], axis=-1)
+    pair_mask = (present[:, :, None] & present[:, None, :]
+                 & ~jnp.eye(max_instances, dtype=bool)[None])
+    push = jax.nn.relu(2 * delta_d - d) ** 2 * pair_mask
+    denom = jnp.maximum(num_id * (num_id - 1.0), 1.0)
+    dist_loss = (push.sum(axis=(1, 2)) / denom / 2.0)
+    dist_loss = jnp.where(num_id > 1, dist_loss, 0.0).mean()
+
+    # reg loss on centroid norms
+    reg = jnp.linalg.norm(means, axis=-1) * present
+    reg_loss = (reg.sum(axis=1) / jnp.maximum(num_id, 1.0)).mean()
+
+    return alpha * var_loss + beta * dist_loss + gamma * reg_loss
+
+
+def cosine_affinity_2d(embedding_bhwc, offsets, eps: float = 1e-6,
+                       clamp: bool = True):
+    """'official' cosine-similarity affinities (clamped [0,1]), valid padding."""
+    n = embedding_bhwc / jnp.maximum(
+        jnp.linalg.norm(embedding_bhwc, axis=-1, keepdims=True), eps)
+    h, w = n.shape[1], n.shape[2]
+    chans = []
+    for oy, ox in offsets:
+        shifted = jnp.roll(n, shift=(-int(oy), -int(ox)), axis=(1, 2))
+        a = jnp.sum(n * shifted, axis=-1)
+        if clamp:
+            a = jnp.clip(a, 0.0, 1.0)
+        a = a * _valid_mask_2d((h, w), (int(oy), int(ox)), a.dtype)[None]
+        chans.append(a)
+    return jnp.stack(chans, axis=1)
+
+
+def _shift_replicate(x, off):
+    """Replication-pad shift: value at p is x[clip(p + off)] (edge clamp)."""
+    spatial_axes = tuple(range(1, x.ndim - 1))
+    for axis, o in zip(spatial_axes, off):
+        o = int(o)
+        if o == 0:
+            continue
+        n = x.shape[axis]
+        idx = jnp.clip(jnp.arange(n) + o, 0, n - 1)
+        x = jnp.take(x, idx, axis=axis)
+    return x
+
+
+def embeddings_to_affinities_distance(embedding, offsets, delta: float = 1.5):
+    """Distance affinities ((2d - ||e-e'||)/2d, clamped, squared); channels
+    first output; replication-pad border semantics (emb2affs.py parity)."""
+    chans = []
+    for off in offsets:
+        shifted = _shift_replicate(embedding, off)
+        dist = jnp.linalg.norm(embedding - shifted, axis=-1)
+        a = jnp.clip((2 * delta - dist) / (2 * delta), 0.0) ** 2
+        chans.append(a)
+    return jnp.stack(chans, axis=1)
+
+
+def rescaled_affinity(affs):
+    """(a + 1) / 2 clamped to [0, 1] — norm2-family ablation."""
+    return jnp.clip((affs + 1.0) / 2.0, 0.0, 1.0)

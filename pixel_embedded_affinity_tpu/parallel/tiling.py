@@ -1,0 +1,147 @@
+"""Sliding-window tiled 3D inference with Gaussian-blended overlap.
+
+Device-resident rebuild of the reference tiling engine
+(scripts_ac3ac4/data/provider_valid.py:157-348): reflect-pad the volume,
+enumerate a clamped (z, y, x) tile grid, run the model on batches of tiles,
+and accumulate prediction * Gaussian weight into canvas arrays.
+
+TPU-first differences: tiles are batched (one forward per B tiles instead of
+per tile), the batch axis can be sharded over a device mesh (tile
+parallelism), and the weighted accumulation runs on-device as a jitted
+scatter-add with donated canvases (no per-tile host round trip).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import numpy as np
+
+
+def gaussian_blend_weight(out_size, sigma: float = 0.2, mu: float = 0.0):
+    """exp(-d^2 / 2 sigma^2) over normalized [-1,1]^3 coords (+1e-6 floor)."""
+    zz, yy, xx = np.meshgrid(
+        np.linspace(-1, 1, out_size[0], dtype=np.float32),
+        np.linspace(-1, 1, out_size[1], dtype=np.float32),
+        np.linspace(-1, 1, out_size[2], dtype=np.float32), indexing="ij")
+    dd = np.sqrt(zz * zz + yy * yy + xx * xx)
+    return (1e-6 + np.exp(-((dd - mu) ** 2) / (2.0 * sigma ** 2))).astype(
+        np.float32)
+
+
+def tile_grid(padded_shape, crop_size, stride):
+    """Clamped tile start positions covering the padded volume."""
+    num = [int(np.ceil((padded_shape[d] - crop_size[d]) / stride[d])) + 1
+           for d in range(3)]
+    positions = []
+    for iz in range(num[0]):
+        for iy in range(num[1]):
+            for ix in range(num[2]):
+                pos = []
+                for d, i in zip(range(3), (iz, iy, ix)):
+                    start = i * stride[d]
+                    if start + crop_size[d] > padded_shape[d]:
+                        start = padded_shape[d] - crop_size[d]
+                    pos.append(start)
+                positions.append(tuple(pos))
+    # dedupe clamped duplicates, preserve order
+    seen = set()
+    out = []
+    for p in positions:
+        if p not in seen:
+            seen.add(p)
+            out.append(p)
+    return out
+
+
+class TiledInference3D:
+    """Runs ``predict_fn`` over tiles and stitches a (K, D, H, W) canvas.
+
+    predict_fn: (B, d, h, w, 1) float32 -> (B, K, d, h, w) affinities.
+    """
+
+    def __init__(self, crop_size=(18, 160, 160), stride=(10, 80, 80),
+                 padding=(4, 48, 48), sigma: float = 0.2,
+                 batch_size: int = 8, device_accumulate: bool = True):
+        self.crop_size = tuple(crop_size)
+        self.stride = tuple(stride)
+        self.padding = tuple(padding)
+        self.batch_size = batch_size
+        self.weight = gaussian_blend_weight(self.crop_size, sigma=sigma)
+        self.device_accumulate = device_accumulate
+
+    def run(self, volume: np.ndarray, predict_fn: Callable, n_channels: int,
+            progress: Callable | None = None) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        pad = self.padding
+        vol = np.pad(volume, ((pad[0], pad[0]), (pad[1], pad[1]),
+                              (pad[2], pad[2])), mode="reflect")
+        pshape = vol.shape
+        positions = tile_grid(pshape, self.crop_size, self.stride)
+        cz, cy, cx = self.crop_size
+
+        if self.device_accumulate:
+            canvas = jnp.zeros((n_channels,) + pshape, jnp.float32)
+            wmap = jnp.zeros(pshape, jnp.float32)
+            weight = jnp.asarray(self.weight)
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def acc(canvas, wmap, affs_b, pos_b):
+                def body(i, carry):
+                    cv, wm = carry
+                    z, y, x = pos_b[i, 0], pos_b[i, 1], pos_b[i, 2]
+                    cv = jax.lax.dynamic_update_slice(
+                        cv,
+                        jax.lax.dynamic_slice(cv, (0, z, y, x),
+                                              (n_channels, cz, cy, cx))
+                        + affs_b[i] * weight[None],
+                        (0, z, y, x))
+                    wm = jax.lax.dynamic_update_slice(
+                        wm,
+                        jax.lax.dynamic_slice(wm, (z, y, x), (cz, cy, cx))
+                        + weight,
+                        (z, y, x))
+                    return cv, wm
+
+                return jax.lax.fori_loop(0, affs_b.shape[0], body,
+                                         (canvas, wmap))
+        else:
+            canvas = np.zeros((n_channels,) + pshape, np.float32)
+            wmap = np.zeros(pshape, np.float32)
+
+        bs = self.batch_size
+        for i0 in range(0, len(positions), bs):
+            chunk = positions[i0:i0 + bs]
+            tiles = np.stack([
+                vol[z:z + cz, y:y + cy, x:x + cx] for z, y, x in chunk
+            ]).astype(np.float32)[..., None]
+            n_real = len(chunk)
+            if n_real < bs:  # pad to static batch for jit
+                tiles = np.concatenate(
+                    [tiles, np.repeat(tiles[-1:], bs - n_real, axis=0)])
+            affs = predict_fn(tiles)  # (B, K, cz, cy, cx)
+            if self.device_accumulate:
+                pos_arr = np.asarray(
+                    list(chunk) + [chunk[-1]] * (bs - n_real), np.int32)
+                if n_real < bs:
+                    affs = affs[:n_real]
+                    pos_arr = pos_arr[:n_real]
+                canvas, wmap = acc(canvas, wmap, jnp.asarray(affs),
+                                   jnp.asarray(pos_arr))
+            else:
+                affs = np.asarray(affs)
+                for b, (z, y, x) in enumerate(chunk):
+                    canvas[:, z:z + cz, y:y + cy, x:x + cx] += (
+                        affs[b] * self.weight[None])
+                    wmap[z:z + cz, y:y + cy, x:x + cx] += self.weight
+            if progress is not None:
+                progress(min(i0 + bs, len(positions)), len(positions))
+
+        canvas = np.asarray(canvas)
+        wmap = np.asarray(wmap)
+        out = canvas / np.maximum(wmap[None], 1e-12)
+        sl = tuple(slice(p, s - p) for p, s in zip(pad, pshape))
+        return out[(slice(None),) + sl]

@@ -1,0 +1,275 @@
+"""Training driver: data -> sharded train step -> validation -> checkpoints.
+
+Mirrors the reference loop structure (scripts_cvppp/main.py:170-459 /
+scripts_ac3ac4/main.py:175-366) as one framework: per-iteration jitted step
+(DP-sharded over the mesh), per-valid_freq instance decoding + metrics
+(mutex watershed + SBD/DiC/VOI/ARAND for 2D; waterz/LMC VOI for 3D),
+per-save_freq checkpoints, scalar logs (JSONL + optional tensorboardX).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+
+import numpy as np
+
+from ..config import Config
+from ..models import (ResidualUNet2DDeep, UNetPNIEmbeddingDeep,
+                      UNet3DMALADeep, ResNetEmbedding)
+from ..ops import multi_offset
+from ..ops import losses as L
+from ..parallel import get_mesh, batch_sharding, replicated_sharding
+from .optim import make_optimizer, make_schedule
+from .train_step import (
+    TrainState, make_train_step_2d, make_train_step_3d, make_eval_step_2d,
+)
+from .checkpoint import save_checkpoint, latest_checkpoint, load_checkpoint
+
+log = logging.getLogger("pea")
+
+
+def build_model(cfg: Config):
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
+    if cfg.model.arch == "resunet2d_deep":
+        return ResidualUNet2DDeep(out_channels=cfg.model.output_nc,
+                                  nfeatures=tuple(cfg.model.filters),
+                                  emd=cfg.model.emd, dtype=dtype)
+    if cfg.model.arch == "unet_pni_deep":
+        return UNetPNIEmbeddingDeep(filters=tuple(cfg.model.filters),
+                                    emd=cfg.model.emd, dtype=dtype)
+    if cfg.model.arch == "unet3d_mala":
+        return UNet3DMALADeep(emd=cfg.model.emd, dtype=dtype)
+    if cfg.model.arch in ("resnet50_embedding", "resnet101_embedding"):
+        return ResNetEmbedding(depth=50 if "50" in cfg.model.arch else 101,
+                               emd=cfg.model.emd,
+                               out_channels=cfg.model.output_nc, dtype=dtype)
+    raise ValueError(cfg.model.arch)
+
+
+def build_dataset(cfg: Config):
+    if cfg.data.dataset == "cvppp":
+        from ..data.cvppp import CVPPPTrain, CVPPPValidation
+
+        train = CVPPPTrain(cfg.data.data_folder, size=cfg.data.size,
+                           shifts=tuple(cfg.data.shifts),
+                           neighbor=cfg.data.neighbor,
+                           padding=cfg.data.padding,
+                           separate_weight=cfg.data.separate_weight,
+                           valid_set=cfg.data.valid_set,
+                           ema_noise=cfg.data.if_ema_noise,
+                           ema_blur=cfg.data.if_ema_blur,
+                           ema_intensity=cfg.data.if_ema_intensity,
+                           ema_mask=cfg.data.if_ema_mask,
+                           ema_flip=cfg.data.if_ema_flip,
+                           seed=cfg.train.random_seed)
+        valid = CVPPPValidation(cfg.data.data_folder,
+                                shifts=tuple(cfg.data.shifts),
+                                neighbor=cfg.data.neighbor,
+                                valid_set=cfg.data.valid_set)
+        return train, valid
+    if cfg.data.dataset == "bbbc039v1":
+        from ..data.bbbc import BBBCTrain, BBBCValidation
+
+        train = BBBCTrain(cfg.data.data_folder, size=cfg.data.size,
+                          shifts=tuple(cfg.data.shifts),
+                          neighbor=cfg.data.neighbor,
+                          seed=cfg.train.random_seed)
+        valid = BBBCValidation(cfg.data.data_folder,
+                               shifts=tuple(cfg.data.shifts),
+                               neighbor=cfg.data.neighbor)
+        return train, valid
+    if cfg.data.dataset == "ac3ac4":
+        from ..data.ac3ac4 import AC3AC4Train, AC3AC4ValidVolume
+
+        train = AC3AC4Train(cfg.data.data_folder,
+                            dataset_name=cfg.data.dataset_name,
+                            train_split=cfg.data.train_split,
+                            crop_size=tuple(cfg.data.crop_size),
+                            padding=cfg.data.padding_3d,
+                            seed=cfg.train.random_seed)
+        valid = AC3AC4ValidVolume(cfg.data.data_folder,
+                                  dataset_name=cfg.data.dataset_name,
+                                  mode="valid")
+        return train, valid
+    raise ValueError(cfg.data.dataset)
+
+
+class ScalarLogger:
+    def __init__(self, record_path):
+        os.makedirs(record_path, exist_ok=True)
+        self.f = open(os.path.join(record_path, "scalars.jsonl"), "a")
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.tb = SummaryWriter(record_path)
+        except Exception:
+            self.tb = None
+
+    def add(self, step, **scalars):
+        self.f.write(json.dumps({"step": step, **scalars}) + "\n")
+        self.f.flush()
+        if self.tb is not None:
+            for k, v in scalars.items():
+                self.tb.add_scalar(k, v, step)
+
+
+def init_state(cfg: Config, model, tx, sample_batch):
+    import jax
+
+    rng = jax.random.PRNGKey(cfg.train.random_seed)
+    variables = model.init(rng, sample_batch["image"][:1], train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+    import jax.numpy as jnp
+
+    return TrainState(params, batch_stats, opt_state, jnp.zeros((), jnp.int32))
+
+
+def validate_2d(cfg: Config, eval_step, state, valid_dataset, offsets):
+    """Decode + metrics over the validation set (2D pipelines)."""
+    from ..postproc import seg_mutex, merge_func
+    from ..ops.affinity_np import relabel
+    from ..metrics import (symmetric_best_dice, abs_diff_fg_labels, voi,
+                           adapted_rand_error)
+    from ..postproc.merge_small import remove_small_object
+    import jax
+
+    losses, dices, diffs, vois, arands = [], [], [], [], []
+    for i in range(len(valid_dataset)):
+        s = valid_dataset[i]
+        batch = {k: v[None] for k, v in s.items()}
+        loss, pred, embedding, pred_mask = eval_step(state.params,
+                                                     state.batch_stats, batch)
+        out_affs = np.asarray(pred)[0]
+        gt = s["seg"].astype(np.uint16)
+        if cfg.train.mask_weight:  # bbbc: predicted FG mask seeds the decode
+            pm = np.asarray(jax.nn.softmax(pred_mask[0], axis=-1))
+            fg = (np.argmax(pm, axis=-1) > 0).astype(np.uint8)
+            fg = remove_small_object(fg, min_size=25)
+        else:
+            fg = (gt > 0).astype(np.uint8)
+        seg = seg_mutex(out_affs, offsets=offsets,
+                        strides=list(cfg.data.strides), mask=fg).astype(
+                            np.uint16)
+        seg = merge_func(seg,
+                         variant="bbbc" if cfg.train.mask_weight else "cvppp")
+        seg = relabel(seg).astype(np.uint16)
+        losses.append(float(loss))
+        dices.append(symmetric_best_dice(seg, gt))
+        diffs.append(abs_diff_fg_labels(seg, gt))
+        vs, vm = voi(gt, seg)
+        vois.append(vs + vm)
+        arands.append(adapted_rand_error(gt, seg)[0])
+    return {"valid/loss": float(np.mean(losses)),
+            "valid/SBD": float(np.mean(dices)),
+            "valid/DiC": float(np.mean(diffs)),
+            "valid/VOI": float(np.mean(vois)),
+            "valid/ARAND": float(np.mean(arands))}
+
+
+def train(cfg: Config, max_iters: int | None = None, data_override=None,
+          interpret: bool = False, log_dir: str | None = None):
+    """Run training; returns the final state (and metrics history)."""
+    import jax
+
+    total_iters = max_iters or cfg.train.total_iters
+    mesh = get_mesh()
+    bsh = batch_sharding(mesh)
+    rsh = replicated_sharding(mesh)
+
+    model = build_model(cfg)
+    if data_override is not None:
+        train_ds, valid_ds = data_override
+    else:
+        train_ds, valid_ds = build_dataset(cfg)
+
+    from ..data.provider import Provider
+
+    provider = Provider(train_ds, batch_size=cfg.train.batch_size,
+                        num_workers=cfg.train.num_workers,
+                        seed=cfg.train.random_seed)
+
+    schedule = make_schedule(
+        "poly" if cfg.train.lr_mode == "cosine" else cfg.train.lr_mode,
+        cfg.train.base_lr, cfg.train.end_lr, cfg.train.total_iters,
+        cfg.train.warmup_iters, cfg.train.decay_iters, cfg.train.power) \
+        if cfg.train.lr_mode != "fixed" else None
+    tx = make_optimizer(cfg.train.base_lr, eps=0.01,
+                        weight_decay=cfg.train.weight_decay or 0.0,
+                        amsgrad=True, opt_type=cfg.train.opt_type,
+                        schedule=schedule)
+
+    batch0 = provider.next()
+    state = init_state(cfg, model, tx, batch0)
+
+    save_path = os.path.join(cfg.save_path, cfg.name)
+    if cfg.train.resume:
+        ck = latest_checkpoint(save_path)
+        if ck:
+            restored = load_checkpoint(ck)
+            state = TrainState(restored["params"], restored["batch_stats"],
+                               state.opt_state, restored["step"])
+            log.info("resumed from %s", ck)
+
+    criterion = L.CRITERIA[cfg.train.loss_func]
+    offsets = multi_offset(list(cfg.data.shifts), neighbor=cfg.data.neighbor)
+    is_3d = cfg.model.arch in ("unet_pni_deep", "unet3d_mala")
+    if is_3d:
+        step_fn = make_train_step_3d(
+            model, tx, criterion=criterion,
+            affs0_weight=cfg.train.affs0_weight,
+            embedding_mode=cfg.train.embedding_mode,
+            use_pallas=cfg.train.use_pallas, interpret=interpret)
+    else:
+        step_fn = make_train_step_2d(
+            model, tx, offsets, neighbor=cfg.data.neighbor,
+            criterion=criterion, affs0_weight=cfg.train.affs0_weight,
+            deep_weight=cfg.train.deep_weight, self_emb=cfg.train.self_emb,
+            cross_emb=cfg.train.cross_emb, mask_weight=cfg.train.mask_weight,
+            ct_weight=cfg.train.ct_weight, use_pallas=cfg.train.use_pallas,
+            interpret=interpret)
+
+    batch_shardings = {k: bsh for k in batch0}
+    jit_step = jax.jit(step_fn,
+                       in_shardings=(rsh, batch_shardings),
+                       donate_argnums=(0,))
+    eval_step = None
+    if not is_3d:
+        eval_step = jax.jit(make_eval_step_2d(
+            model, offsets, criterion=criterion,
+            use_pallas=cfg.train.use_pallas, interpret=interpret))
+
+    logger = ScalarLogger(log_dir or os.path.join(save_path, "log"))
+    history = []
+    sum_loss = 0.0
+    t_start = time.time()
+    it = int(state.step)
+    batch = batch0
+    while it < total_iters:
+        it += 1
+        state, pred, metrics = jit_step(state, batch)
+        sum_loss += float(metrics["loss"])
+        if it % cfg.train.display_freq == 0 or it == 1:
+            dt = time.time() - t_start
+            avg = sum_loss / (cfg.train.display_freq if it > 1 else 1)
+            log.info("step %d, loss=%.6f (%.2f s)", it, avg, dt)
+            logger.add(it, loss=avg, sec_per_iter=dt / max(it, 1))
+            sum_loss = 0.0
+        if cfg.train.if_valid and eval_step is not None and valid_ds is not None \
+                and len(valid_ds) > 0 and (it % cfg.train.valid_freq == 0):
+            m = validate_2d(cfg, eval_step, state, valid_ds, offsets)
+            log.info("valid @%d: %s", it, m)
+            logger.add(it, **m)
+            history.append({"step": it, **m})
+        if it % cfg.train.save_freq == 0 or it == total_iters:
+            save_checkpoint(save_path, state, it)
+        if it < total_iters:
+            batch = provider.next()
+    provider.close()
+    return state, history

@@ -1,0 +1,202 @@
+"""Jit-compiled training steps (2D and 3D pipelines).
+
+One fused program per step: student forward + EMA-view forward (shared
+weights, reference sharing_weights=True), per-sample EMA un-flip, deep
+supervision at 4 scales, full-scale self loss + cross-view loss + optional
+mask-head / consistency terms, grads, optimizer update.
+
+Parallelism: the caller jits this with batch inputs sharded over the 'data'
+mesh axis and params replicated; XLA inserts the grad all-reduce (DP). See
+parallel/mesh.py.
+
+Loss wiring parity: scripts_cvppp/main.py:266-310 (2D) and
+scripts_ac3ac4/main.py:209-231 (3D).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import losses as L
+from ..data.consistency import convert_consistency_flip_jax
+from ..data.ac3ac4 import convert_consistency_flip_jax_3d_rule4
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def deep_weight_factors(deep_weight) -> list[float]:
+    if deep_weight == 1:
+        return [1.0, 1.0, 1.0, 1.0, 1.0]
+    if deep_weight == 2:
+        return [0.01, 0.03, 0.1, 0.3, 1.0]
+    return [float(deep_weight), 1.0, 1.0, 1.0, 1.0]
+
+
+def make_train_step_2d(model, tx, offsets, *, neighbor=4,
+                       criterion=L.weighted_mse, affs0_weight=1.0,
+                       deep_weight=1, self_emb=1.0, cross_emb=1.0,
+                       mask_weight=0.0, ct_weight=0.0,
+                       use_pallas=True, interpret=False):
+    offsets = tuple(map(tuple, offsets))
+    nb_half = neighbor // 2
+    dwf = deep_weight_factors(deep_weight)
+
+    def loss_fn(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        (e1, e2, e3, e4, embedding, pred_mask), mut = model.apply(
+            variables, batch["image"], train=True, mutable=["batch_stats"])
+        (_, _, _, _, ema_embedding, _), mut = model.apply(
+            {"params": params, "batch_stats": mut["batch_stats"]},
+            batch["ema_image"], train=True, mutable=["batch_stats"])
+
+        ema_embedding = convert_consistency_flip_jax(ema_embedding,
+                                                     batch["rules"])
+
+        # deep supervision: model outputs e1(1/16)..e4(1/2) pair with
+        # down4..down1 (reference emd1<->down1 at 1/2 scale)
+        embeddings = [e4, e3, e2, e1]  # scales 1/2, 1/4, 1/8, 1/16
+        downs = [batch["down1"], batch["down2"], batch["down3"],
+                 batch["down4"]]
+        deep_losses = []
+        for k, (emb, down) in enumerate(zip(embeddings, downs)):
+            n_off = nb_half * (4 - k)
+            l, _ = L.embedding_loss_2d(
+                emb, down[:, :n_off], down[:, n_off:2 * n_off],
+                down[:, 2 * n_off:3 * n_off], offsets[:n_off],
+                criterion=criterion, use_pallas=use_pallas,
+                interpret=interpret)
+            deep_losses.append(l)
+
+        loss_embedding, pred = L.embedding_loss_2d(
+            embedding, batch["affs"], batch["wmap"], batch["mask"], offsets,
+            criterion=criterion, use_pallas=use_pallas, interpret=interpret)
+        loss_cross, _ = L.ema_embedding_loss_2d(
+            embedding, ema_embedding, batch["affs"], batch["wmap"],
+            batch["mask"], offsets, criterion=criterion,
+            affs0_weight=affs0_weight)
+
+        loss_self = (loss_embedding * dwf[0]
+                     + deep_losses[0] * dwf[1] + deep_losses[1] * dwf[2]
+                     + deep_losses[2] * dwf[3] + deep_losses[3] * dwf[4])
+        loss_cross_total = loss_cross * dwf[0] * cross_emb
+        loss = loss_self * self_emb + loss_cross_total
+
+        aux_losses = {}
+        if mask_weight:
+            lm = L.mask_head_loss(pred_mask, (batch["seg"] > 0))
+            loss = loss + mask_weight * lm
+            aux_losses["loss_mask"] = lm
+        if ct_weight:
+            lc = jnp.mean((embedding - ema_embedding) ** 2)
+            loss = loss + ct_weight * lc
+            aux_losses["loss_ct"] = lc
+
+        metrics = {"loss": loss, "loss_embedding": loss_self * self_emb,
+                   "loss_cross": loss_cross_total, **aux_losses}
+        return loss, (mut["batch_stats"], jax.nn.relu(pred), metrics)
+
+    def train_step(state: TrainState, batch):
+        grads, (new_stats, pred, metrics) = jax.grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        import optax
+
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_stats, new_opt,
+                          state.step + 1), pred, metrics
+
+    return train_step
+
+
+def make_eval_step_2d(model, offsets, *, criterion=L.weighted_mse,
+                      use_pallas=True, interpret=False):
+    offsets = tuple(map(tuple, offsets))
+
+    def eval_step(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        _, _, _, _, embedding, pred_mask = model.apply(
+            variables, batch["image"], train=False)
+        loss, pred = L.embedding_loss_2d(
+            embedding, batch["affs"], batch["wmap"], batch["mask"], offsets,
+            criterion=criterion, use_pallas=use_pallas, interpret=interpret)
+        return loss, jax.nn.relu(pred), embedding, pred_mask
+
+    return eval_step
+
+
+def make_train_step_3d(model, tx, *, criterion=L.weighted_mse,
+                       affs0_weight=1.0, embedding_mode=5,
+                       shifts=(1, 1, 1, 2, 3, 3, 3, 9, 9, 4, 27, 27),
+                       use_pallas=True, interpret=False):
+    """3D step (scripts_ac3ac4/main.py:209-231): norm5 full-scale self +
+    cross loss, norm1 deep supervision on 4 pyramid scales (emd1<->down4)."""
+
+    def loss_fn(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        (e1, e2, e3, e4, embedding), mut = model.apply(
+            variables, batch["image"], train=True, mutable=["batch_stats"])
+        (_, _, _, _, ema_embedding), mut = model.apply(
+            {"params": params, "batch_stats": mut["batch_stats"]},
+            batch["ema_image"], train=True, mutable=["batch_stats"])
+
+        ema_embedding = convert_consistency_flip_jax_3d_rule4(
+            ema_embedding, batch["rules"])
+
+        if embedding_mode == 5:
+            loss_emb, pred = L.embedding_loss_norm5(
+                embedding, batch["affs"], batch["wmap"], criterion=criterion,
+                affs0_weight=affs0_weight, shifts=shifts,
+                use_pallas=use_pallas, interpret=interpret)
+            loss_cross, _ = L.embedding_loss_norm5(
+                embedding, batch["affs"], batch["wmap"], criterion=criterion,
+                affs0_weight=affs0_weight, shifts=shifts,
+                ema_embedding_bdhwc=ema_embedding, use_pallas=False)
+        else:
+            loss_emb, pred = L.embedding_loss_norm1(
+                embedding, batch["affs"], batch["wmap"], criterion=criterion,
+                affs0_weight=affs0_weight)
+            loss_cross, _ = L.embedding_loss_norm1(
+                embedding, batch["affs"], batch["wmap"], criterion=criterion,
+                affs0_weight=affs0_weight,
+                ema_embedding_bdhwc=ema_embedding)
+
+        deep = 0.0
+        # emd1 (1/16) <-> down4 ... emd4 (1/2) <-> down1
+        for emb, key in zip([e1, e2, e3, e4],
+                            ["down4", "down3", "down2", "down1"]):
+            d = batch[key]
+            l, _ = L.embedding_loss_norm1(emb, d[:, :3], d[:, 3:6],
+                                          criterion=criterion,
+                                          affs0_weight=affs0_weight)
+            deep = deep + l
+
+        loss = loss_emb + loss_cross + deep
+        # boundary fill (main.py:233-236) then relu for the visual pred
+        s = 1
+        pred = pred.at[:, 1, :, :s, :].set(pred[:, 1, :, s:2 * s, :])
+        pred = pred.at[:, 2, :, :, :s].set(pred[:, 2, :, :, s:2 * s])
+        pred = pred.at[:, 0, :s, :, :].set(pred[:, 0, s:2 * s, :, :])
+        metrics = {"loss": loss, "loss_embedding": loss_emb,
+                   "loss_cross": loss_cross, "loss_deep": deep}
+        return loss, (mut["batch_stats"], jax.nn.relu(pred), metrics)
+
+    def train_step(state: TrainState, batch):
+        grads, (new_stats, pred, metrics) = jax.grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        import optax
+
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_stats, new_opt,
+                          state.step + 1), pred, metrics
+
+    return train_step

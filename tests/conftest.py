@@ -1,7 +1,8 @@
-"""Test config: force an 8-device virtual CPU platform before jax import.
+"""Test config: force an 8-device virtual CPU platform.
 
-Multi-chip sharding tests run on this virtual mesh; real-TPU behavior is
-exercised by bench.py / the driver's dryrun.
+Some installed pytest plugins import jax before this conftest runs, so env
+vars alone are too late; jax.config.update works as long as no backend has
+been initialized yet (first jax.devices() call happens inside tests).
 """
 
 import os
@@ -13,5 +14,12 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+# exact f32 convs/matmuls for reference-parity tests (the framework default
+# stays fast bf16-class MXU passes in production)
+jax.config.update("jax_default_matmul_precision", "highest")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

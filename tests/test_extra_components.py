@@ -1,0 +1,115 @@
+"""Tests for ablation losses, ResNet embedding models, clustering decode,
+mutex-style GT, and EMA helpers."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from synth import blob_labels
+
+from pixel_embedded_affinity_tpu.ops.losses_extra import (
+    discriminative_loss, cosine_affinity_2d,
+    embeddings_to_affinities_distance, rescaled_affinity,
+)
+from pixel_embedded_affinity_tpu.ops.offsets import shift_channels_offsets
+from pixel_embedded_affinity_tpu.ops.affinity_np import gen_affs_mutex_3d
+from pixel_embedded_affinity_tpu.utils.ema import (
+    update_ema_variables, sigmoid_rampup,
+)
+
+
+def test_discriminative_loss_separates():
+    """Well-separated embeddings give lower loss than collapsed ones."""
+    rng = np.random.default_rng(0)
+    seg = np.zeros((1, 16, 16), np.int32)
+    seg[0, :8] = 1
+    seg[0, 8:] = 2
+    # collapsed embedding
+    e_bad = jnp.asarray(rng.normal(0, 0.01, (1, 16, 16, 4)).astype(np.float32))
+    # separated embedding
+    e_good = np.zeros((1, 16, 16, 4), np.float32)
+    e_good[0, :8, :, 0] = 4.0
+    e_good[0, 8:, :, 1] = 4.0
+    l_bad = float(discriminative_loss(e_bad, jnp.asarray(seg),
+                                      include_background=False))
+    l_good = float(discriminative_loss(jnp.asarray(e_good), jnp.asarray(seg),
+                                       include_background=False))
+    assert l_good < l_bad
+    # jit-compilable
+    jl = jax.jit(lambda e, s: discriminative_loss(e, s))(jnp.asarray(e_good),
+                                                         jnp.asarray(seg))
+    assert np.isfinite(float(jl))
+
+
+def test_cosine_affinity_clamped():
+    rng = np.random.default_rng(1)
+    e = jnp.asarray(rng.normal(size=(1, 12, 12, 4)).astype(np.float32))
+    a = cosine_affinity_2d(e, [(-1, 0), (0, -1)])
+    assert a.shape == (1, 2, 12, 12)
+    assert float(a.min()) >= 0.0 and float(a.max()) <= 1.0
+
+
+def test_distance_affinity_identity():
+    e = jnp.ones((1, 8, 8, 4))
+    a = embeddings_to_affinities_distance(e, [(-1, 0), (0, -3)], delta=1.5)
+    np.testing.assert_allclose(np.asarray(a), 1.0, atol=1e-6)
+    r = rescaled_affinity(jnp.asarray([-1.0, 0.0, 1.0]))
+    np.testing.assert_allclose(np.asarray(r), [0.0, 0.5, 1.0])
+
+
+def test_shift_channels_tables():
+    for n in (3, 7, 9, 15, 17, 23):
+        offs = shift_channels_offsets(n)
+        assert len(offs) == n
+        assert offs[0] == [-1, 0, 0]
+
+
+def test_gen_affs_mutex_3d():
+    lab = np.zeros((4, 10, 10), np.int64)
+    lab[:, :5] = 1
+    lab[:, 5:] = 2
+    offs = shift_channels_offsets(3)
+    affs = gen_affs_mutex_3d(lab, offs, padding=False, background=False)
+    assert affs.shape == (3, 4, 10, 10)
+    # y-affinity across the boundary at y=5 is 0; inside is 1
+    assert affs[1, 1, 5, 3] == 0
+    assert affs[1, 1, 3, 3] == 1
+
+
+def test_resnet_embedding_shapes():
+    from pixel_embedded_affinity_tpu.models import ResNetEmbedding
+
+    model = ResNetEmbedding(depth=50, emd=8, out_channels=2)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    outs = model.apply(variables, x, train=False)
+    assert len(outs) == 6
+    shapes = [tuple(o.shape) for o in outs]
+    assert shapes[0] == (1, 4, 4, 8)     # 1/16
+    assert shapes[3] == (1, 32, 32, 8)   # 1/2
+    assert shapes[4] == (1, 64, 64, 8)   # 1/1 embedding
+    assert shapes[5] == (1, 64, 64, 2)   # mask
+
+
+def test_cluster_decode():
+    from pixel_embedded_affinity_tpu.postproc.cluster import cluster_embeddings
+
+    lab = blob_labels(48, 48, grid=2, radius=9)
+    emb = np.zeros((48, 48, 4), np.float32)
+    for i in range(1, lab.max() + 1):
+        emb[lab == i] = np.eye(4)[i % 4] * 3 + i
+    fg = (lab > 0).astype(np.uint8)
+    seg = cluster_embeddings(emb, fg, method="dbscan", eps=0.5, min_samples=5,
+                             subsample=1)
+    from synth import partitions_equal
+
+    assert partitions_equal(seg, lab)
+
+
+def test_ema_update():
+    p = {"w": jnp.ones((2, 2))}
+    t = {"w": jnp.zeros((2, 2))}
+    t2 = update_ema_variables(p, t, alpha=0.99, global_step=1000)
+    np.testing.assert_allclose(np.asarray(t2["w"]), 0.01, atol=1e-6)
+    assert sigmoid_rampup(0, 100) < sigmoid_rampup(50, 100) < 1.0
+    assert sigmoid_rampup(100, 100) == 1.0

@@ -57,7 +57,7 @@ def test_resunet2d_deep_parity():
         t = t.numpy()
         j = np.transpose(np.asarray(j), (0, 3, 1, 2))
         assert t.shape == j.shape, (t.shape, j.shape)
-        np.testing.assert_allclose(j, t, atol=2e-3, rtol=1e-2)
+        np.testing.assert_allclose(j, t, atol=2e-4, rtol=1e-3)
 
 
 def test_unet_pni_deep_parity():
@@ -82,7 +82,7 @@ def test_unet_pni_deep_parity():
         t = t.numpy()
         j = np.transpose(np.asarray(j), (0, 4, 1, 2, 3))
         assert t.shape == j.shape, (t.shape, j.shape)
-        np.testing.assert_allclose(j, t, atol=2e-3, rtol=1e-2)
+        np.testing.assert_allclose(j, t, atol=2e-4, rtol=1e-3)
 
 
 def test_unet3d_mala_deep_parity():
@@ -103,4 +103,4 @@ def test_unet3d_mala_deep_parity():
     jout = jmodel.apply(variables, jx, train=False)
     j = np.transpose(np.asarray(jout), (0, 4, 1, 2, 3))
     assert j.shape == tuple(tout.shape), (j.shape, tuple(tout.shape))
-    np.testing.assert_allclose(j, tout.numpy(), atol=2e-3, rtol=1e-2)
+    np.testing.assert_allclose(j, tout.numpy(), atol=2e-4, rtol=1e-3)

@@ -1,0 +1,96 @@
+"""Tiled 3D inference engine: GT-affinity round-trip through the tiler.
+
+Productizes the reference's self-check (provider_valid.py:367-423): feeding
+ground-truth affinities through tile/stitch must reproduce them exactly in
+the interior (Gaussian blending of identical overlapping values is identity).
+"""
+
+import numpy as np
+
+from synth import tile_labels_3d
+
+from pixel_embedded_affinity_tpu.ops.affinity_np import seg_to_aff_3d_12ch
+from pixel_embedded_affinity_tpu.parallel import (
+    TiledInference3D, gaussian_blend_weight)
+from pixel_embedded_affinity_tpu.parallel.tiling import tile_grid
+
+
+def test_gaussian_weight_properties():
+    w = gaussian_blend_weight((18, 160, 160))
+    assert w.shape == (18, 160, 160)
+    assert w.max() <= 1.0 + 1e-5
+    c = w[9, 80, 80]
+    assert c > w[0, 0, 0]  # center-weighted
+
+
+def test_tile_grid_covers_volume():
+    shape = (28, 100, 100)
+    crop = (18, 64, 64)
+    stride = (10, 40, 40)
+    positions = tile_grid(shape, crop, stride)
+    covered = np.zeros(shape, bool)
+    for z, y, x in positions:
+        covered[z:z + 18, y:y + 64, x:x + 64] = True
+        assert z + 18 <= shape[0] and y + 64 <= shape[1] and x + 64 <= shape[2]
+    assert covered.all()
+
+
+def test_tiler_roundtrip_gt_affinities():
+    lab = tile_labels_3d(24, 72, 72, nz=2, ny=3, nx=3)
+    gt_affs = seg_to_aff_3d_12ch(lab)  # (12, D, H, W)
+    pad = (2, 8, 8)
+    lab_pad = np.pad(lab, ((pad[0], pad[0]), (pad[1], pad[1]),
+                           (pad[2], pad[2])), mode="reflect")
+    gt_pad = seg_to_aff_3d_12ch(lab_pad)
+    crop = (12, 40, 40)
+
+    # position-encoding volume: voxel value = flat index, so each tile's
+    # corner value recovers its (z, y, x) position in the padded volume
+    pshape = lab_pad.shape
+    enc = np.arange(np.prod(pshape), dtype=np.float32).reshape(pshape)
+
+    def predict(tiles):
+        out = np.zeros((tiles.shape[0], 12) + crop, np.float32)
+        for b in range(tiles.shape[0]):
+            flat = int(round(float(tiles[b, 0, 0, 0, 0])))
+            z, rem = divmod(flat, pshape[1] * pshape[2])
+            y, x = divmod(rem, pshape[2])
+            out[b] = gt_pad[:, z:z + crop[0], y:y + crop[1], x:x + crop[2]]
+        return out
+
+    engine = TiledInference3D(crop_size=crop, stride=(6, 20, 20), padding=pad,
+                              batch_size=4, device_accumulate=False)
+    # run on the *unpadded* encoding so the engine's own reflect pad
+    # reproduces enc's interior; instead pre-strip: feed enc's interior
+    inner = enc[pad[0]:pshape[0] - pad[0], pad[1]:pshape[1] - pad[1],
+                pad[2]:pshape[2] - pad[2]]
+    # the engine pads with reflect which would NOT equal enc at borders, so
+    # emulate by overriding: run on a volume whose reflect-pad == enc is not
+    # possible; instead accept corner decoding only for interior tiles by
+    # monkey-running on enc directly with zero padding:
+    engine.padding = (0, 0, 0)
+    stitched_pad = engine.run(enc, predict, n_channels=12)
+    stitched = stitched_pad[:, pad[0]:pshape[0] - pad[0],
+                            pad[1]:pshape[1] - pad[1],
+                            pad[2]:pshape[2] - pad[2]]
+    assert stitched.shape == (12, 24, 72, 72)
+    # every tile returns the exact GT crop, so Gaussian blending of agreeing
+    # overlaps must reproduce GT exactly; compare away from the volume border
+    # (long-range channels see the pad there)
+    m = 28
+    sl = (slice(None), slice(4, -4), slice(m, -m), slice(m, -m))
+    np.testing.assert_allclose(stitched[sl], gt_affs[sl], atol=1e-4)
+
+
+def test_tiler_constant_volume_identity():
+    """Constant predictions stitch to exactly that constant everywhere."""
+    vol = np.zeros((20, 48, 48), np.float32)
+
+    def predict(tiles):
+        return np.full((tiles.shape[0], 3, 12, 32, 32), 0.7, np.float32)
+
+    engine = TiledInference3D(crop_size=(12, 32, 32), stride=(6, 16, 16),
+                              padding=(2, 8, 8), batch_size=4,
+                              device_accumulate=False)
+    out = engine.run(vol, predict, n_channels=3)
+    np.testing.assert_allclose(out, 0.7, atol=1e-5)

@@ -1,0 +1,89 @@
+"""End-to-end training smoke tests on synthetic data (virtual 8-device CPU mesh).
+
+Exercises L0-L9 once per pipeline: config -> provider -> sharded jit train
+step -> loss decrease -> validation decode (mutex watershed + SBD/VOI) ->
+checkpoint save/restore.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from pixel_embedded_affinity_tpu.config import load_config
+
+
+@pytest.fixture(scope="module")
+def cvppp_data(tmp_path_factory):
+    from pixel_embedded_affinity_tpu.data.cvppp import synthesize
+
+    folder = str(tmp_path_factory.mktemp("cvppp"))
+    synthesize(folder, n_train=6, n_valid=2, h=114, w=84, seed=0)
+    return folder
+
+
+def test_train_cvppp_2d_e2e(cvppp_data):
+    import jax
+
+    from pixel_embedded_affinity_tpu.train.loop import train
+
+    assert len(jax.devices()) == 8  # virtual CPU mesh from conftest
+
+    cfg = load_config("cvppp", overrides={
+        "data": {"data_folder": cvppp_data, "size": 128},
+        "train": {"batch_size": 8, "num_workers": 2, "display_freq": 2,
+                  "valid_freq": 6, "save_freq": 6, "use_pallas": False,
+                  "total_iters": 6},
+        "save_path": os.path.join(cvppp_data, "models"),
+    })
+    cfg.model.filters = (8, 12, 16, 24, 32)
+
+    state, history = train(cfg, max_iters=6)
+    assert int(state.step) == 6
+    assert len(history) == 1
+    m = history[0]
+    assert np.isfinite(m["valid/loss"])
+    assert 0.0 <= m["valid/SBD"] <= 1.0
+
+    # checkpoint written and restorable
+    from pixel_embedded_affinity_tpu.train.checkpoint import (
+        latest_checkpoint, load_checkpoint)
+
+    ck = latest_checkpoint(os.path.join(cvppp_data, "models", "cvppp"))
+    assert ck is not None
+    restored = load_checkpoint(ck)
+    assert restored["step"] == 6
+
+
+def test_train_ac3ac4_3d_step(cvppp_data):
+    """One 3D train step on a synthetic volume (small crop, CPU)."""
+    import jax
+
+    from pixel_embedded_affinity_tpu.config import load_config
+    from pixel_embedded_affinity_tpu.data.ac3ac4 import (
+        AC3AC4Train, synthesize_volume)
+    from pixel_embedded_affinity_tpu.train.loop import (
+        build_model, init_state)
+    from pixel_embedded_affinity_tpu.train.optim import make_optimizer
+    from pixel_embedded_affinity_tpu.train.train_step import make_train_step_3d
+    from pixel_embedded_affinity_tpu.data.provider import Provider
+
+    raw, label = synthesize_volume(d=30, h=96, w=96, n_cells=25, seed=1)
+    cfg = load_config("ac3ac4")
+    cfg.model.filters = (4, 6, 8, 12, 16)
+    cfg.data.crop_size = (18, 64, 64)
+    ds = AC3AC4Train("", train_split=30, crop_size=(18, 64, 64), padding=8,
+                     arrays=(raw, label))
+    provider = Provider(ds, batch_size=2, num_workers=1)
+    batch = provider.next()
+    assert batch["image"].shape == (2, 18, 64, 64, 1)
+    assert batch["affs"].shape == (2, 12, 18, 64, 64)
+
+    model = build_model(cfg)
+    tx = make_optimizer(1e-4)
+    state = init_state(cfg, model, tx, batch)
+    step = jax.jit(make_train_step_3d(model, tx, use_pallas=False))
+    state, pred, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert pred.shape == (2, 12, 18, 64, 64)
+    provider.close()
