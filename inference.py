@@ -20,12 +20,15 @@ def main():
     parser.add_argument("--out", type=str, default=None)
     parser.add_argument("--torch-ckpt", action="store_true",
                         help="checkpoint is a reference torch .ckpt file")
+    parser.add_argument("-o", "--override", nargs="*", default=None,
+                        help="dotted key=value overrides")
     args = parser.parse_args()
 
     from pixel_embedded_affinity_tpu.config import load_config
     from pixel_embedded_affinity_tpu.train.loop import build_dataset
+    from train import parse_overrides
 
-    cfg = load_config(args.cfg)
+    cfg = load_config(args.cfg, overrides=parse_overrides(args.override))
 
     if args.torch_ckpt:
         from pixel_embedded_affinity_tpu.train.convert_torch import (

@@ -181,6 +181,27 @@ class BBBCValidation:
                 "seg": label.astype(np.int32)}
 
 
+def convert_mask_to_instances(mask: np.ndarray, min_size: int = 25) -> np.ndarray:
+    """Boundary/FG masks -> instance labels (convert_mask2ins.py:1-59 parity):
+    connected-component labeling of the foreground + drop components < 25 px."""
+    from scipy import ndimage
+
+    lab, n = ndimage.label(mask > 0)
+    if n == 0:
+        return lab.astype(np.int32)
+    sizes = np.bincount(lab.reshape(-1))
+    drop = np.where(sizes < min_size)[0]
+    keep_lut = np.arange(sizes.size)
+    keep_lut[drop] = 0
+    lab = keep_lut[lab]
+    # relabel consecutively
+    uid = np.unique(lab)
+    uid = uid[uid > 0]
+    lut = np.zeros(int(lab.max()) + 1, np.int32)
+    lut[uid] = np.arange(1, len(uid) + 1)
+    return lut[lab]
+
+
 def synthesize(data_folder: str, n_train: int = 8, n_valid: int = 2,
                n_test: int = 2, h: int = 520, w: int = 696, seed: int = 0):
     """Synthetic BBBC-layout dataset (nuclei-like blobs, TIFF + PNG labels)."""

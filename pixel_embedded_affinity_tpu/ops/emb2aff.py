@@ -27,8 +27,13 @@ import numpy as np
 
 def normalize_embedding(e: jnp.ndarray, axis: int = -1,
                         eps: float = 1e-12) -> jnp.ndarray:
-    """L2 normalize, torch.nn.functional.normalize semantics (norm clamped to eps)."""
-    norm = jnp.sqrt(jnp.sum(e * e, axis=axis, keepdims=True))
+    """L2 normalize, torch.nn.functional.normalize semantics (norm clamped to eps).
+
+    The squared norm gets a denormal-scale floor before the sqrt so the
+    gradient at an all-zero vector is 0 (jnp.sqrt would give NaN; torch's
+    norm uses the 0 subgradient there). Forward change is < 1e-18.
+    """
+    norm = jnp.sqrt(jnp.sum(e * e, axis=axis, keepdims=True) + 1e-36)
     return e / jnp.maximum(norm, eps)
 
 

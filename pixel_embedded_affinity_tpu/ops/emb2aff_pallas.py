@@ -39,8 +39,9 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _normalize(e, eps=1e-12):
-    # e: (C, TH, W); normalize over C (torch.nn.functional.normalize semantics)
-    norm = jnp.sqrt(jnp.sum(e * e, axis=0, keepdims=True))
+    # e: (C, TH, W); normalize over C (torch.nn.functional.normalize
+    # semantics; grad-safe at zero vectors like ops.emb2aff)
+    norm = jnp.sqrt(jnp.sum(e * e, axis=0, keepdims=True) + 1e-36)
     return e / jnp.maximum(norm, eps)
 
 

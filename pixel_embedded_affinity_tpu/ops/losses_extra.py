@@ -48,7 +48,7 @@ def discriminative_loss(embedding_bhwc, seg_b, max_instances: int = 64,
 
     # var (pull) loss: mean over pixels of relu(||e - mu|| - dv)^2, per label
     mu_per_pixel = jnp.einsum("bnk,bkc->bnc", onehot, means)
-    dist = jnp.linalg.norm(emb - mu_per_pixel, axis=-1)
+    dist = jnp.sqrt(jnp.sum((emb - mu_per_pixel) ** 2, axis=-1) + 1e-12)
     hinge = jax.nn.relu(dist - delta_v) ** 2
     per_label = jnp.einsum("bnk,bn->bk", onehot, hinge) / jnp.maximum(counts, 1.0)
     num_id = present.sum(axis=1).astype(emb.dtype)

@@ -27,6 +27,18 @@ def agglomerate(affs: np.ndarray, fragments: np.ndarray,
     return out.reshape(d, h, w)
 
 
+def agglomerate_multi(affs: np.ndarray, fragments: np.ndarray,
+                      thresholds) -> list[np.ndarray]:
+    """waterz.agglomerate-style multi-threshold API: one segmentation per
+    threshold (ascending thresholds continue merging the previous result)."""
+    out = []
+    frags = fragments
+    for t in sorted(thresholds):
+        frags = agglomerate(affs, frags, threshold=float(t))
+        out.append(frags.copy())
+    return out
+
+
 def seg_waterz(affs: np.ndarray, threshold: float = 0.5,
                seed_method: str = "maxima_distance") -> np.ndarray:
     """Full waterz path on 3-channel 3D affinities.

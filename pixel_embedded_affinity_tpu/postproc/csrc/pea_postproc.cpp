@@ -513,4 +513,102 @@ int64_t gaec_multicut(int64_t n_nodes, int64_t n_edges,
     return (int64_t)next;
 }
 
+// ---------------------------------------------------------------------------
+// Constrained MALIS edge weights (malis-lib equivalent, 'both' mode).
+//
+// For each nearest-neighbor affinity edge, counts the voxel pairs for which
+// that edge is the maximin edge, via Kruskal in descending affinity order:
+//  * positive pass on min(aff, gt): pairs with the SAME (nonzero) label
+//  * negative pass on max(aff, gt): pairs with DIFFERENT nonzero labels
+// Background (label 0) voxels do not contribute pairs. Output weight =
+// opt_weight * pos/total_pos + (1-opt_weight) * neg/total_neg.
+// affs/out: (3, D, H, W) with channel d = edge to -1 along axis d.
+// ---------------------------------------------------------------------------
+int64_t malis_weights(const float* affs, const uint32_t* seg,
+                      int64_t dz, int64_t dy, int64_t dx,
+                      double opt_weight, float* out) {
+    const int64_t n = dz * dy * dx;
+    const int64_t strides[3] = {dy * dx, dx, 1};
+    const int64_t ddims[3] = {dz, dy, dx};
+
+    // enumerate edges: id = d * n + p, valid when coord[d] > 0
+    std::vector<uint32_t> edges;
+    edges.reserve((size_t)(3 * n));
+    for (int d = 0; d < 3; ++d) {
+        for (int64_t p = 0; p < n; ++p) {
+            int64_t rem = p;
+            int64_t c0 = rem / strides[0]; rem %= strides[0];
+            int64_t c1 = rem / strides[1];
+            int64_t c2 = rem % strides[1];
+            int64_t coord[3] = {c0, c1, c2};
+            if (coord[d] - 1 < 0) continue;
+            edges.push_back((uint32_t)(d * n + p));
+        }
+    }
+
+    std::vector<double> pos((size_t)3 * n, 0.0), neg((size_t)3 * n, 0.0);
+    double total_pos = 0.0, total_neg = 0.0;
+
+    auto run_pass = [&](bool positive) {
+        // edge weight for the pass
+        auto ew = [&](uint32_t e) -> float {
+            int64_t d = e / n, p = e % n;
+            int64_t q = p - strides[d];
+            float gt = (seg[p] && seg[p] == seg[q]) ? 1.0f : 0.0f;
+            float a = affs[e];
+            return positive ? std::min(a, gt) : std::max(a, gt);
+        };
+        std::vector<uint32_t> order = edges;
+        std::stable_sort(order.begin(), order.end(),
+                         [&](uint32_t a, uint32_t b) { return ew(a) > ew(b); });
+        UnionFind uf((size_t)n);
+        // per-root label histogram (fg only)
+        std::vector<std::unordered_map<uint32_t, int64_t>> hist((size_t)n);
+        std::vector<int64_t> fg_size((size_t)n, 0);
+        for (int64_t p = 0; p < n; ++p) {
+            if (seg[p]) { hist[p][seg[p]] = 1; fg_size[p] = 1; }
+        }
+        for (uint32_t e : order) {
+            int64_t d = e / n, p = e % n;
+            int64_t q = p - strides[d];
+            uint32_t ra = uf.find((uint32_t)p), rb = uf.find((uint32_t)q);
+            if (ra == rb) continue;
+            // count pairs crossing (ra, rb)
+            auto& ha = hist[ra];
+            auto& hb = hist[rb];
+            const auto& small = ha.size() <= hb.size() ? ha : hb;
+            const auto& big = ha.size() <= hb.size() ? hb : ha;
+            double same = 0.0;
+            for (const auto& kv : small) {
+                auto it = big.find(kv.first);
+                if (it != big.end()) same += (double)kv.second * it->second;
+            }
+            double cross = (double)fg_size[ra] * fg_size[rb];
+            if (positive) {
+                pos[e] += same;
+                total_pos += same;
+            } else {
+                neg[e] += cross - same;
+                total_neg += cross - same;
+            }
+            uint32_t keep = uf.merge(ra, rb);
+            uint32_t gone = keep == ra ? rb : ra;
+            if (hist[gone].size() > hist[keep].size()) hist[gone].swap(hist[keep]);
+            for (const auto& kv : hist[gone]) hist[keep][kv.first] += kv.second;
+            hist[gone].clear();
+            fg_size[keep] = fg_size[ra] + fg_size[rb];
+        }
+    };
+    run_pass(true);
+    run_pass(false);
+
+    for (size_t i = 0; i < (size_t)3 * n; ++i) {
+        double w = 0.0;
+        if (total_pos > 0) w += opt_weight * pos[i] / total_pos;
+        if (total_neg > 0) w += (1.0 - opt_weight) * neg[i] / total_neg;
+        out[i] = (float)w;
+    }
+    return (int64_t)(total_pos + total_neg);
+}
+
 }  // extern "C"
