@@ -34,7 +34,13 @@ def main():
     rng = jax.random.PRNGKey(0)
     x = jnp.asarray(np.random.default_rng(0).normal(
         size=(B, H, W, 3)).astype(np.float32))
-    variables = model.init(rng, x[:1], train=False)
+    import functools
+
+    # jit the init: on the tunneled TPU backend each *eager* op would
+    # trigger its own remote compile, which takes tens of minutes
+    init_fn = jax.jit(functools.partial(model.init, train=False))
+    variables = jax.block_until_ready(init_fn(rng, x[:1]))
+    print("# init done", file=__import__("sys").stderr, flush=True)
     offsets = tuple(map(tuple, multi_offset([1, 3, 5, 9, 27], neighbor=4)))
 
     def fwd_embedding(image):
@@ -64,6 +70,7 @@ def main():
 
     def timeit(fn, iters=30):
         fn(x).block_until_ready()
+        print("# compiled", file=__import__("sys").stderr, flush=True)
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(x)
