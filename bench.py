@@ -29,8 +29,13 @@ def main():
 
     on_tpu = jax.devices()[0].platform == "tpu"
     B, H, W = 4, 544, 544
+    # ours: bf16 compute (production TPU config) + fused Pallas affinity
     model = ResidualUNet2DDeep(out_channels=2,
-                               nfeatures=(16, 32, 64, 128, 256), emd=16)
+                               nfeatures=(16, 32, 64, 128, 256), emd=16,
+                               dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+    # baseline: the reference-faithful graph — f32 model + per-offset rolls
+    model_ref = ResidualUNet2DDeep(out_channels=2,
+                                   nfeatures=(16, 32, 64, 128, 256), emd=16)
     rng = jax.random.PRNGKey(0)
     x = jnp.asarray(np.random.default_rng(0).normal(
         size=(B, H, W, 3)).astype(np.float32))
@@ -43,13 +48,10 @@ def main():
     print("# init done", file=__import__("sys").stderr, flush=True)
     offsets = tuple(map(tuple, multi_offset([1, 3, 5, 9, 27], neighbor=4)))
 
-    def fwd_embedding(image):
-        _, _, _, _, embedding, _ = model.apply(variables, image, train=False)
-        return embedding
-
     @jax.jit
     def ours(image):
-        emb = fwd_embedding(image)
+        _, _, _, _, emb, _ = model.apply(variables, image, train=False)
+        emb = emb.astype(jnp.float32)
         if on_tpu:
             return jax.nn.relu(fused_affinity_2d(emb, offsets, 32, False))
         from pixel_embedded_affinity_tpu.ops import embedding_to_affinity_2d
@@ -60,7 +62,7 @@ def main():
     def reference_style(image):
         # reference embedding2affs: normalize then per-offset circular roll +
         # channel-dot, one full pass per offset
-        emb = fwd_embedding(image)
+        _, _, _, _, emb, _ = model_ref.apply(variables, image, train=False)
         n = normalize_embedding(emb, axis=-1)
         chans = []
         for oy, ox in offsets:

@@ -95,9 +95,12 @@ def device_prefetch(batches: Iterator[dict], sharding=None, depth: int = 2):
     try:
         for _ in range(depth):
             buf.append(put(next(it)))
-        while True:
-            out = buf.pop(0)
-            buf.append(put(next(it)))
-            yield out
     except StopIteration:
-        yield from buf
+        pass
+    while buf:
+        out = buf.pop(0)
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out

@@ -43,3 +43,29 @@ def latest_checkpoint(path: str) -> str | None:
         return None
     cks = sorted(f for f in os.listdir(path) if f.endswith(".ckpt"))
     return os.path.join(path, cks[-1]) if cks else None
+
+
+# --------------------------------------------------------------------------
+# orbax backend (async, multi-host-aware) for large-scale runs
+# --------------------------------------------------------------------------
+
+def save_checkpoint_orbax(path: str, state, step: int):
+    import orbax.checkpoint as ocp
+    import jax
+
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    host_state = jax.device_get(state._asdict() if hasattr(state, "_asdict")
+                                else state)
+    target = os.path.join(path, f"orbax-{step:06d}")
+    ckptr.save(target, host_state, force=True)
+    ckptr.wait_until_finished()
+    return target
+
+
+def load_checkpoint_orbax(target: str):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(target))

@@ -35,9 +35,17 @@ def main():
     parser.add_argument("-i", "--iters", type=int, default=None)
     parser.add_argument("-o", "--override", nargs="*", default=None,
                         help="dotted key=value overrides")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: jax.distributed.initialize() so the "
+                             "data mesh spans hosts (DP over ICI+DCN)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+    if args.distributed:
+        import jax
+
+        jax.distributed.initialize()
 
     from pixel_embedded_affinity_tpu.config import load_config, PRESETS
 
