@@ -22,6 +22,8 @@ def main():
                         help="checkpoint is a reference torch .ckpt file")
     parser.add_argument("-o", "--override", nargs="*", default=None,
                         help="dotted key=value overrides")
+    parser.add_argument("--decoders", type=str, default="mutex,waterz,lmc",
+                        help="3D decoders to run (comma-separated)")
     args = parser.parse_args()
 
     from pixel_embedded_affinity_tpu.config import load_config
@@ -54,7 +56,8 @@ def main():
                                 dataset_name="ac3" if args.mode == "test"
                                 else cfg.data.dataset_name,
                                 mode=args.mode)
-        _, results = run_inference_3d(cfg, variables, vol.raw, gt=vol.label)
+        _, results = run_inference_3d(cfg, variables, vol.raw, gt=vol.label,
+                                      decoders=tuple(args.decoders.split(",")))
         for dec, (seg, m) in results.items():
             print(dec, json.dumps(m))
     else:

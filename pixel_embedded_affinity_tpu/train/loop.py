@@ -119,10 +119,16 @@ class ScalarLogger:
 
 
 def init_state(cfg: Config, model, tx, sample_batch):
+    import functools
+
     import jax
 
     rng = jax.random.PRNGKey(cfg.train.random_seed)
-    variables = model.init(rng, sample_batch["image"][:1], train=False)
+    # jitted init: one compile instead of per-op eager dispatch (the tunneled
+    # TPU backend remote-compiles every eager op)
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        rng, sample_batch["image"][:1])
+    variables = jax.device_get(variables)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
@@ -131,7 +137,8 @@ def init_state(cfg: Config, model, tx, sample_batch):
     return TrainState(params, batch_stats, opt_state, jnp.zeros((), jnp.int32))
 
 
-def validate_2d(cfg: Config, eval_step, state, valid_dataset, offsets):
+def validate_2d(cfg: Config, eval_step, state, valid_dataset, offsets,
+                iters: int = 0, show_dir: str | None = None):
     """Decode + metrics over the validation set (2D pipelines)."""
     from ..postproc import seg_mutex, merge_func
     from ..ops.affinity_np import relabel
@@ -166,6 +173,10 @@ def validate_2d(cfg: Config, eval_step, state, valid_dataset, offsets):
         vs, vm = voi(gt, seg)
         vois.append(vs + vm)
         arands.append(adapted_rand_error(gt, seg)[0])
+        if i == 0 and show_dir is not None:
+            from ..utils.show import val_show
+
+            val_show(iters, out_affs[-1], s["affs"][-1], seg, gt, show_dir)
     return {"valid/loss": float(np.mean(losses)),
             "valid/SBD": float(np.mean(dices)),
             "valid/DiC": float(np.mean(diffs)),
@@ -263,7 +274,9 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
             sum_loss = 0.0
         if cfg.train.if_valid and eval_step is not None and valid_ds is not None \
                 and len(valid_ds) > 0 and (it % cfg.train.valid_freq == 0):
-            m = validate_2d(cfg, eval_step, state, valid_ds, offsets)
+            m = validate_2d(cfg, eval_step, state, valid_ds, offsets,
+                            iters=it,
+                            show_dir=os.path.join(save_path, "valid"))
             log.info("valid @%d: %s", it, m)
             logger.add(it, **m)
             history.append({"step": it, **m})
