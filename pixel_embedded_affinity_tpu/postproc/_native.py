@@ -68,5 +68,9 @@ def get_lib() -> ctypes.CDLL:
         lib.gaec_multicut.restype = i64
         lib.gaec_multicut.argtypes = [i64, i64, u64p, f64p, i32, u64p]
 
+        lib.lifted_gaec_multicut.restype = i64
+        lib.lifted_gaec_multicut.argtypes = [i64, i64, u64p, f64p,
+                                             i64, u64p, f64p, i32, u64p]
+
         _lib = lib
         return _lib

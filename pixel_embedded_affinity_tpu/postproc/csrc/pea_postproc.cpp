@@ -514,6 +514,154 @@ int64_t gaec_multicut(int64_t n_nodes, int64_t n_edges,
 }
 
 // ---------------------------------------------------------------------------
+// LIFTED multicut via greedy additive edge contraction: lifted edges
+// contribute to contraction scores and the objective but only locally
+// adjacent pairs may be contracted. Optional greedy node-move local search
+// over the combined (local + lifted) cost graph.
+// ---------------------------------------------------------------------------
+int64_t lifted_gaec_multicut(int64_t n_nodes,
+                             int64_t n_local, const uint64_t* uv_local,
+                             const double* costs_local,
+                             int64_t n_lifted, const uint64_t* uv_lifted,
+                             const double* costs_lifted,
+                             int32_t do_local_search, uint64_t* node_labels) {
+    std::vector<std::unordered_map<uint32_t, double>> local((size_t)n_nodes);
+    std::vector<std::unordered_map<uint32_t, double>> lifted((size_t)n_nodes);
+    for (int64_t i = 0; i < n_local; ++i) {
+        uint32_t a = (uint32_t)uv_local[2 * i], b = (uint32_t)uv_local[2 * i + 1];
+        if (a == b) continue;
+        local[a][b] += costs_local[i];
+        local[b][a] += costs_local[i];
+    }
+    for (int64_t i = 0; i < n_lifted; ++i) {
+        uint32_t a = (uint32_t)uv_lifted[2 * i], b = (uint32_t)uv_lifted[2 * i + 1];
+        if (a == b) continue;
+        lifted[a][b] += costs_lifted[i];
+        lifted[b][a] += costs_lifted[i];
+    }
+    UnionFind uf((size_t)n_nodes);
+    auto pair_score = [&](uint32_t a, uint32_t b) {
+        double s = 0.0;
+        auto il = local[a].find(b);
+        if (il != local[a].end()) s += il->second;
+        auto iq = lifted[a].find(b);
+        if (iq != lifted[a].end()) s += iq->second;
+        return s;
+    };
+    struct QE { double c; uint32_t a, b; };
+    struct Cmp { bool operator()(const QE& x, const QE& y) const { return x.c < y.c; } };
+    std::priority_queue<QE, std::vector<QE>, Cmp> pq;
+    for (uint32_t a = 0; a < (uint32_t)n_nodes; ++a)
+        for (auto& kv : local[a])
+            if (kv.first > a) {
+                double s = pair_score(a, kv.first);
+                if (s > 0) pq.push({s, a, kv.first});
+            }
+
+    while (!pq.empty()) {
+        QE e = pq.top(); pq.pop();
+        uint32_t ra = uf.find(e.a), rb = uf.find(e.b);
+        if (ra == rb) continue;
+        auto it = local[ra].find(rb);
+        if (it == local[ra].end()) continue;  // no longer locally adjacent
+        double cur = pair_score(ra, rb);
+        if (cur != e.c) {
+            if (cur > 0) pq.push({cur, ra, rb});
+            continue;
+        }
+        if (e.c <= 0) break;
+        if (local[ra].size() + lifted[ra].size()
+            < local[rb].size() + lifted[rb].size()) std::swap(ra, rb);
+        uint32_t keep = uf.merge(ra, rb);
+        if (keep != ra) std::swap(ra, rb);
+        local[ra].erase(rb);
+        lifted[ra].erase(rb);
+        lifted[rb].erase(ra);
+        for (auto& kv : local[rb]) {
+            uint32_t rc = uf.find(kv.first);
+            if (rc == ra) continue;
+            auto ic = local[rc].find(rb);
+            if (ic != local[rc].end()) { local[rc].erase(ic); }
+            local[rc][ra] += kv.second;
+            local[ra][rc] += kv.second;
+            double s = pair_score(ra, rc);
+            if (s > 0) pq.push({s, ra, rc});
+        }
+        for (auto& kv : lifted[rb]) {
+            uint32_t rc = uf.find(kv.first);
+            if (rc == ra) continue;
+            auto ic = lifted[rc].find(rb);
+            if (ic != lifted[rc].end()) lifted[rc].erase(ic);
+            lifted[rc][ra] += kv.second;
+            lifted[ra][rc] += kv.second;
+            if (local[ra].count(rc)) {
+                double s = pair_score(ra, rc);
+                if (s > 0) pq.push({s, ra, rc});
+            }
+        }
+        local[rb].clear();
+        lifted[rb].clear();
+    }
+
+    if (do_local_search) {
+        std::vector<std::unordered_map<uint32_t, double>> nadj((size_t)n_nodes);
+        for (int64_t i = 0; i < n_local; ++i) {
+            uint32_t a = (uint32_t)uv_local[2 * i], b = (uint32_t)uv_local[2 * i + 1];
+            if (a == b) continue;
+            nadj[a][b] += costs_local[i];
+            nadj[b][a] += costs_local[i];
+        }
+        for (int64_t i = 0; i < n_lifted; ++i) {
+            uint32_t a = (uint32_t)uv_lifted[2 * i], b = (uint32_t)uv_lifted[2 * i + 1];
+            if (a == b) continue;
+            nadj[a][b] += costs_lifted[i];
+            nadj[b][a] += costs_lifted[i];
+        }
+        std::vector<uint32_t> comp((size_t)n_nodes);
+        for (int64_t v = 0; v < n_nodes; ++v) comp[v] = uf.find((uint32_t)v);
+        bool changed = true;
+        int iters = 0;
+        while (changed && iters < 3) {
+            changed = false;
+            ++iters;
+            for (int64_t v = 0; v < n_nodes; ++v) {
+                std::unordered_map<uint32_t, double> gain;
+                double stay = 0;
+                for (auto& kv : nadj[v]) {
+                    if (comp[kv.first] == comp[v]) stay += kv.second;
+                    else gain[comp[kv.first]] += kv.second;
+                }
+                uint32_t best = comp[v];
+                double best_gain = 0;
+                for (auto& kv : gain) {
+                    double g = kv.second - stay;
+                    if (g > best_gain) { best_gain = g; best = kv.first; }
+                }
+                if (best != comp[v]) { comp[v] = best; changed = true; }
+            }
+        }
+        std::unordered_map<uint32_t, uint64_t> remap;
+        uint64_t next = 0;
+        for (int64_t v = 0; v < n_nodes; ++v) {
+            auto it2 = remap.find(comp[v]);
+            if (it2 == remap.end()) { remap[comp[v]] = next; node_labels[v] = next; ++next; }
+            else node_labels[v] = it2->second;
+        }
+        return (int64_t)next;
+    }
+
+    std::unordered_map<uint32_t, uint64_t> remap;
+    uint64_t next = 0;
+    for (int64_t v = 0; v < n_nodes; ++v) {
+        uint32_t r = uf.find((uint32_t)v);
+        auto it2 = remap.find(r);
+        if (it2 == remap.end()) { remap[r] = next; node_labels[v] = next; ++next; }
+        else node_labels[v] = it2->second;
+    }
+    return (int64_t)next;
+}
+
+// ---------------------------------------------------------------------------
 // Constrained MALIS edge weights (malis-lib equivalent, 'both' mode).
 //
 // For each nearest-neighbor affinity edge, counts the voxel pairs for which

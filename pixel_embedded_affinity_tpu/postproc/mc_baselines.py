@@ -12,7 +12,7 @@ import numpy as np
 
 from .watershed import distance_transform_watershed
 from .multicut import (rag_mean_affinity, transform_probabilities_to_costs,
-                       multicut_gaec)
+                       multicut_gaec, lifted_multicut_gaec)
 
 
 def _fragments_from_boundary(boundary: np.ndarray):
@@ -100,7 +100,41 @@ class LongRangeMulticutSuperpixel:
         return lut[fragments]
 
 
-LmcSuperpixel = LongRangeMulticutSuperpixel  # lifted variant alias (GAEC solver)
+class LmcSuperpixel:
+    """TRUE lifted multicut over superpixels: long-range affinity edges enter
+    the objective as non-contractible lifted edges."""
+
+    def __init__(self, offsets=((-2, 0, 0), (0, -9, 0), (0, 0, -9))):
+        self.offsets = offsets
+
+    def __call__(self, affs_local: np.ndarray,
+                 affs_long: np.ndarray | None = None) -> np.ndarray:
+        inv = 1.0 - np.asarray(affs_local, np.float32)
+        boundary = np.maximum(inv[1], inv[2])
+        fragments = _fragments_from_boundary(boundary)
+        uv, mean, size = rag_mean_affinity(fragments, inv[:3])
+        costs = transform_probabilities_to_costs(mean, edge_sizes=size)
+        uniq = np.unique(fragments)
+        remap = {int(u): i for i, u in enumerate(uniq)}
+
+        def compact(uv_arr):
+            return np.vectorize(lambda x: remap[int(x)])(uv_arr).astype(
+                np.uint64)
+
+        if affs_long is not None:
+            uv2, mean2, size2 = _long_range_edges(
+                fragments, 1.0 - np.asarray(affs_long, np.float32),
+                self.offsets)
+            costs2 = transform_probabilities_to_costs(mean2, edge_sizes=size2)
+            uv2c = compact(uv2)
+        else:
+            uv2c = np.zeros((0, 2), np.uint64)
+            costs2 = np.zeros((0,), np.float64)
+        labels = lifted_multicut_gaec(len(uniq), compact(uv), costs,
+                                      uv2c, costs2)
+        lut = np.zeros(int(uniq.max()) + 1, np.uint64)
+        lut[uniq] = labels + 1
+        return lut[fragments]
 
 
 def gen_pseudo_labels(affs: np.ndarray, offsets, strides=(1, 10, 10),

@@ -57,6 +57,26 @@ def multicut_gaec(n_nodes: int, uv: np.ndarray, costs: np.ndarray,
     return labels
 
 
+def lifted_multicut_gaec(n_nodes: int, uv_local: np.ndarray,
+                         costs_local: np.ndarray, uv_lifted: np.ndarray,
+                         costs_lifted: np.ndarray,
+                         local_search: bool = True) -> np.ndarray:
+    """True lifted multicut: lifted edges weigh the objective but only
+    locally adjacent pairs contract (GAEC + greedy node moves)."""
+    lib = get_lib()
+    uv_local = np.ascontiguousarray(uv_local.reshape(-1, 2), np.uint64)
+    uv_lifted = np.ascontiguousarray(uv_lifted.reshape(-1, 2), np.uint64)
+    costs_local = np.ascontiguousarray(costs_local, np.float64)
+    costs_lifted = np.ascontiguousarray(costs_lifted, np.float64)
+    labels = np.zeros(n_nodes, dtype=np.uint64)
+    lib.lifted_gaec_multicut(int(n_nodes),
+                             len(costs_local), uv_local.reshape(-1),
+                             costs_local,
+                             len(costs_lifted), uv_lifted.reshape(-1),
+                             costs_lifted, int(local_search), labels)
+    return labels
+
+
 def mc_baseline(affs: np.ndarray, fragments: np.ndarray | None = None
                 ) -> np.ndarray:
     """affs (>=3, D, H, W) AFFINITIES (the wrapper does the 1-affs flip)."""

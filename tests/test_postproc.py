@@ -127,3 +127,34 @@ def test_merge_small_segments():
     out = merge_small_segments(seg, min_seg_size=5)
     # 3 merged into the neighbor with the longest shared boundary
     assert len(np.unique(out)) == 2
+
+
+def test_lifted_multicut_respects_lifted_repulsion():
+    from pixel_embedded_affinity_tpu.postproc.multicut import (
+        multicut_gaec, lifted_multicut_gaec)
+
+    # chain a-b-c with weakly attractive local edges; strong lifted
+    # repulsion a-c must keep the chain from collapsing into one cluster
+    uv_local = np.array([[0, 1], [1, 2]], np.uint64)
+    costs_local = np.array([1.0, 1.0])
+    uv_lifted = np.array([[0, 2]], np.uint64)
+    costs_lifted = np.array([-10.0])
+
+    plain = multicut_gaec(3, uv_local, costs_local, local_search=False)
+    assert len(np.unique(plain)) == 1  # without the lifted edge: all merge
+
+    lifted = lifted_multicut_gaec(3, uv_local, costs_local,
+                                  uv_lifted, costs_lifted,
+                                  local_search=False)
+    assert len(np.unique(lifted)) >= 2  # lifted repulsion prevents collapse
+
+    # lifted attraction a-c flips the (ab, c) contraction decision after the
+    # a-b merge: local b-c alone is repulsive, but local + lifted is positive
+    uv_l = np.array([[0, 1], [1, 2]], np.uint64)
+    c_l = np.array([1.0, -0.5])
+    plain2 = multicut_gaec(3, uv_l, c_l, local_search=False)
+    assert len(np.unique(plain2)) == 2  # c stays separate without the lift
+    lifted2 = lifted_multicut_gaec(
+        3, uv_l, c_l, np.array([[0, 2]], np.uint64), np.array([10.0]),
+        local_search=False)
+    assert len(np.unique(lifted2)) == 1
