@@ -114,6 +114,38 @@ def elastic_deform(img, label, rng, alpha=16.0, sigma=4.0):
     return img_o, lab_o.astype(label.dtype)
 
 
+def random_affine(img, label, rng, rotation: float = 10.0,
+                  translation: float = 0.1, shear: float = 0.1,
+                  zoom=(0.7, 1.0)):
+    """torchsample-style RandomAffine chain (dataset/transforms.py:23-105
+    parity: rotation +-10deg, translation 0.1, shear 0.1, zoom 0.7-1);
+    image bilinear, label nearest, reflect border."""
+    import cv2
+
+    h, w = label.shape[:2]
+    ang = np.deg2rad(rng.uniform(-rotation, rotation))
+    tx = rng.uniform(-translation, translation) * w
+    ty = rng.uniform(-translation, translation) * h
+    sh = rng.uniform(-shear, shear)
+    z = rng.uniform(*zoom)
+    cx, cy = w / 2.0, h / 2.0
+    # compose: translate(-c) -> zoom -> shear -> rotate -> translate(c + t)
+    ca, sa = np.cos(ang), np.sin(ang)
+    m_rot = np.array([[ca, -sa], [sa, ca]])
+    m_shear = np.array([[1.0, sh], [0.0, 1.0]])
+    a = m_rot @ m_shear * z
+    offset = np.array([cx + tx, cy + ty]) - a @ np.array([cx, cy])
+    mat = np.concatenate([a, offset[:, None]], axis=1).astype(np.float32)
+    img_o = cv2.warpAffine(img, mat, (w, h), flags=cv2.INTER_LINEAR,
+                           borderMode=cv2.BORDER_REFLECT)
+    lab_o = cv2.warpAffine(label.astype(np.float32), mat, (w, h),
+                           flags=cv2.INTER_NEAREST,
+                           borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    if img_o.ndim == 2:
+        img_o = img_o[..., None]
+    return img_o, lab_o.astype(label.dtype)
+
+
 def random_grayscale_adjust(img, rng, contrast=(0.7, 1.3), brightness=(-0.15, 0.15),
                             gamma=(0.7, 1.4)):
     """Intensity jitter (contrast * x + brightness, then gamma), clipped [0,1]."""

@@ -30,12 +30,13 @@ class CVPPPTrain:
                  shifts=(1, 3, 5, 9, 27), neighbor: int = 4,
                  padding: bool = True, separate_weight: bool = True,
                  valid_set: str = "local_20_1",
-                 mode: str = "train",
+                 mode: str = "train", aug_mode: str = "xiaoyu",
                  ema_noise: bool = False, ema_blur: bool = False,
                  ema_intensity: bool = True, ema_mask: bool = True,
                  ema_flip: bool = True,
                  seed: int = 555):
         self.data_folder = data_folder
+        self.aug_mode = aug_mode
         self.size = size
         self.offsets = multi_offset(list(shifts), neighbor=neighbor)
         self.nb_half = neighbor // 2
@@ -84,9 +85,18 @@ class CVPPPTrain:
             img = np.pad(img, ((7, 7), (22, 22), (0, 0)), mode="reflect")
             label = np.pad(label, ((7, 7), (22, 22)), mode="constant")
 
-        img, label = random_flips(img, label, rng)
-        img, label = random_resized_crop(img, label, self.size, rng,
-                                         scale=(0.7, 1.0))
+        if self.aug_mode == "xiaoyu":
+            img, label = random_flips(img, label, rng)
+            img, label = random_resized_crop(img, label, self.size, rng,
+                                             scale=(0.7, 1.0))
+        else:  # 'rsis': flip/crop + p=0.5 torchsample-style affine chain
+            from .augment2d import random_affine, center_crop_pad
+
+            img, label = random_flips(img, label, rng)
+            img = center_crop_pad(img, self.size, self.size)
+            label = center_crop_pad(label, self.size, self.size)
+            if rng.random() < 0.5:
+                img, label = random_affine(img, label, rng)
         image = C.normalize_imagenet(img)
 
         return build_cvppp_targets(image, label, self.offsets, self.nb_half,

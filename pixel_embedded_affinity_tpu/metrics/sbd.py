@@ -64,6 +64,19 @@ def abs_diff_fg_labels(in_label, gt_label) -> float:
     return abs(diff_fg_labels(in_label, gt_label))
 
 
+def mean_iou(pred: np.ndarray, gt: np.ndarray, num_classes: int) -> float:
+    """Mean intersection-over-union over classes (model/metric.py MeanIoU)."""
+    ious = []
+    for c in range(num_classes):
+        p = pred == c
+        g = gt == c
+        union = (p | g).sum()
+        if union == 0:
+            continue
+        ious.append(float((p & g).sum()) / float(union))
+    return float(np.mean(ious)) if ious else 0.0
+
+
 def fgbg_dice(in_label, gt_label) -> float:
     in_fg = in_label != in_label.min()
     gt_fg = gt_label != gt_label.min()

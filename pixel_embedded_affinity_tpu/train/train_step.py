@@ -45,18 +45,22 @@ def make_train_step_2d(model, tx, offsets, *, neighbor=4,
                        criterion=L.weighted_mse, affs0_weight=1.0,
                        deep_weight=1, self_emb=1.0, cross_emb=1.0,
                        mask_weight=0.0, ct_weight=0.0,
-                       use_pallas=True, interpret=False):
+                       use_pallas=True, interpret=False, remat=False):
     offsets = tuple(map(tuple, offsets))
     nb_half = neighbor // 2
     dwf = deep_weight_factors(deep_weight)
 
+    def apply_model(params, batch_stats, image):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           image, train=True, mutable=["batch_stats"])
+
+    apply_fn = jax.checkpoint(apply_model) if remat else apply_model
+
     def loss_fn(params, batch_stats, batch):
-        variables = {"params": params, "batch_stats": batch_stats}
-        (e1, e2, e3, e4, embedding, pred_mask), mut = model.apply(
-            variables, batch["image"], train=True, mutable=["batch_stats"])
-        (_, _, _, _, ema_embedding, _), mut = model.apply(
-            {"params": params, "batch_stats": mut["batch_stats"]},
-            batch["ema_image"], train=True, mutable=["batch_stats"])
+        (e1, e2, e3, e4, embedding, pred_mask), mut = apply_fn(
+            params, batch_stats, batch["image"])
+        (_, _, _, _, ema_embedding, _), mut = apply_fn(
+            params, mut["batch_stats"], batch["ema_image"])
 
         ema_embedding = convert_consistency_flip_jax(ema_embedding,
                                                      batch["rules"])
@@ -136,17 +140,25 @@ def make_eval_step_2d(model, offsets, *, criterion=L.weighted_mse,
 def make_train_step_3d(model, tx, *, criterion=L.weighted_mse,
                        affs0_weight=1.0, embedding_mode=5,
                        shifts=(1, 1, 1, 2, 3, 3, 3, 9, 9, 4, 27, 27),
-                       use_pallas=True, interpret=False):
+                       use_pallas=True, interpret=False, remat=True):
     """3D step (scripts_ac3ac4/main.py:209-231): norm5 full-scale self +
-    cross loss, norm1 deep supervision on 4 pyramid scales (emd1<->down4)."""
+    cross loss, norm1 deep supervision on 4 pyramid scales (emd1<->down4).
+
+    ``remat`` checkpoints both model forwards (the dual-view backward
+    otherwise holds ~22 GB of activations for the default PNI config —
+    beyond a single v5e's HBM; recompute trades ~1.3x FLOPs for fitting)."""
+
+    def apply_model(params, batch_stats, image):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           image, train=True, mutable=["batch_stats"])
+
+    apply_fn = jax.checkpoint(apply_model) if remat else apply_model
 
     def loss_fn(params, batch_stats, batch):
-        variables = {"params": params, "batch_stats": batch_stats}
-        (e1, e2, e3, e4, embedding), mut = model.apply(
-            variables, batch["image"], train=True, mutable=["batch_stats"])
-        (_, _, _, _, ema_embedding), mut = model.apply(
-            {"params": params, "batch_stats": mut["batch_stats"]},
-            batch["ema_image"], train=True, mutable=["batch_stats"])
+        (e1, e2, e3, e4, embedding), mut = apply_fn(
+            params, batch_stats, batch["image"])
+        (_, _, _, _, ema_embedding), mut = apply_fn(
+            params, mut["batch_stats"], batch["ema_image"])
 
         ema_embedding = convert_consistency_flip_jax_3d_rule4(
             ema_embedding, batch["rules"])

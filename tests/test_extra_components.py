@@ -113,3 +113,33 @@ def test_ema_update():
     np.testing.assert_allclose(np.asarray(t2["w"]), 0.01, atol=1e-6)
     assert sigmoid_rampup(0, 100) < sigmoid_rampup(50, 100) < 1.0
     assert sigmoid_rampup(100, 100) == 1.0
+
+
+def test_random_affine_and_rsis_mode(tmp_path):
+    from pixel_embedded_affinity_tpu.data.augment2d import random_affine
+
+    rng = np.random.default_rng(0)
+    img = rng.random((64, 60, 3)).astype(np.float32)
+    lab = blob_labels(64, 60, grid=2, radius=8)
+    img2, lab2 = random_affine(img, lab, rng)
+    assert img2.shape == img.shape and lab2.shape == lab.shape
+    assert set(np.unique(lab2)) <= set(np.unique(lab))
+
+    from pixel_embedded_affinity_tpu.data.cvppp import synthesize, CVPPPTrain
+
+    folder = str(tmp_path / "cvppp")
+    synthesize(folder, n_train=4, n_valid=1, h=114, w=84)
+    ds = CVPPPTrain(folder, size=128, aug_mode="rsis")
+    s = ds.sample(np.random.default_rng(1))
+    assert s["image"].shape == (128, 128, 3)
+    assert s["affs"].shape == (10, 128, 128)
+
+
+def test_mean_iou():
+    from pixel_embedded_affinity_tpu.metrics.sbd import mean_iou
+
+    gt = np.array([[0, 0, 1, 1]])
+    assert mean_iou(gt, gt, 2) == 1.0
+    pred = np.array([[0, 1, 1, 1]])
+    # class 0: i=1 u=2; class 1: i=2 u=3
+    assert np.isclose(mean_iou(pred, gt, 2), (0.5 + 2 / 3) / 2)
