@@ -83,11 +83,16 @@ class UNetPNIEmbeddingDeep(nn.Module):
     emd: int = 16
     bn_momentum_flax: float = 0.999  # torch momentum 0.001
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # block-granular rematerialization (training memory)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         f2 = [self.filters[0]] + list(self.filters)
         mom = self.bn_momentum_flax
+        # checkpoint each residual block: only one block's activations are
+        # live during backward (the dual-view 3D step needs ~22 GB otherwise)
+        ResBlockPNI_ = (nn.remat(ResBlockPNI, static_argnums=(2,))
+                        if self.remat else ResBlockPNI)
 
         def pool(v):
             return nn.max_pool(v, (1, 2, 2), strides=(1, 2, 2))
@@ -97,27 +102,27 @@ class UNetPNIEmbeddingDeep(nn.Module):
                     dtype=self.dtype, name="embed_in")(x)
         y = nn.elu(y)
 
-        conv0 = ResBlockPNI(f2[1], mom, self.dtype, name="conv0")(y, train)
-        conv1 = ResBlockPNI(f2[2], mom, self.dtype, name="conv1")(pool(conv0), train)
-        conv2 = ResBlockPNI(f2[3], mom, self.dtype, name="conv2")(pool(conv1), train)
-        conv3 = ResBlockPNI(f2[4], mom, self.dtype, name="conv3")(pool(conv2), train)
-        center = ResBlockPNI(f2[5], mom, self.dtype, name="center")(pool(conv3), train)
+        conv0 = ResBlockPNI_(f2[1], mom, self.dtype, name="conv0")(y, train)
+        conv1 = ResBlockPNI_(f2[2], mom, self.dtype, name="conv1")(pool(conv0), train)
+        conv2 = ResBlockPNI_(f2[3], mom, self.dtype, name="conv2")(pool(conv1), train)
+        conv3 = ResBlockPNI_(f2[4], mom, self.dtype, name="conv3")(pool(conv2), train)
+        center = ResBlockPNI_(f2[5], mom, self.dtype, name="center")(pool(conv3), train)
 
         up0 = UpsampleConv(f2[4], self.dtype, name="up0")(center)
         cat0 = MergeBNELU(mom, self.dtype, name="cat0")(up0 + conv3, train)
-        conv4 = ResBlockPNI(f2[4], mom, self.dtype, name="conv4")(cat0, train)
+        conv4 = ResBlockPNI_(f2[4], mom, self.dtype, name="conv4")(cat0, train)
 
         up1 = UpsampleConv(f2[3], self.dtype, name="up1")(conv4)
         cat1 = MergeBNELU(mom, self.dtype, name="cat1")(up1 + conv2, train)
-        conv5 = ResBlockPNI(f2[3], mom, self.dtype, name="conv5")(cat1, train)
+        conv5 = ResBlockPNI_(f2[3], mom, self.dtype, name="conv5")(cat1, train)
 
         up2 = UpsampleConv(f2[2], self.dtype, name="up2")(conv5)
         cat2 = MergeBNELU(mom, self.dtype, name="cat2")(up2 + conv1, train)
-        conv6 = ResBlockPNI(f2[2], mom, self.dtype, name="conv6")(cat2, train)
+        conv6 = ResBlockPNI_(f2[2], mom, self.dtype, name="conv6")(cat2, train)
 
         up3 = UpsampleConv(f2[1], self.dtype, name="up3")(conv6)
         cat3 = MergeBNELU(mom, self.dtype, name="cat3")(up3 + conv0, train)
-        conv7 = ResBlockPNI(f2[1], mom, self.dtype, name="conv7")(cat3, train)
+        conv7 = ResBlockPNI_(f2[1], mom, self.dtype, name="conv7")(cat3, train)
 
         # embed_out: 1x5x5 conv + ELU, then 1x1x1 heads
         eo = nn.Conv(f2[0], (1, 5, 5), padding=((0, 0), (2, 2), (2, 2)),

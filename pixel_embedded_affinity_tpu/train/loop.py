@@ -41,7 +41,8 @@ def build_model(cfg: Config):
                                   emd=cfg.model.emd, dtype=dtype)
     if cfg.model.arch == "unet_pni_deep":
         return UNetPNIEmbeddingDeep(filters=tuple(cfg.model.filters),
-                                    emd=cfg.model.emd, dtype=dtype)
+                                    emd=cfg.model.emd, dtype=dtype,
+                                    remat=True)
     if cfg.model.arch == "unet3d_mala":
         return UNet3DMALADeep(emd=cfg.model.emd, dtype=dtype)
     if cfg.model.arch in ("resnet50_embedding", "resnet101_embedding"):

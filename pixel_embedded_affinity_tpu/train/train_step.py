@@ -140,13 +140,15 @@ def make_eval_step_2d(model, offsets, *, criterion=L.weighted_mse,
 def make_train_step_3d(model, tx, *, criterion=L.weighted_mse,
                        affs0_weight=1.0, embedding_mode=5,
                        shifts=(1, 1, 1, 2, 3, 3, 3, 9, 9, 4, 27, 27),
-                       use_pallas=True, interpret=False, remat=True):
+                       use_pallas=True, interpret=False, remat=False):
     """3D step (scripts_ac3ac4/main.py:209-231): norm5 full-scale self +
     cross loss, norm1 deep supervision on 4 pyramid scales (emd1<->down4).
 
-    ``remat`` checkpoints both model forwards (the dual-view backward
-    otherwise holds ~22 GB of activations for the default PNI config —
-    beyond a single v5e's HBM; recompute trades ~1.3x FLOPs for fitting)."""
+    Memory: the dual-view backward holds ~22 GB of activations for the
+    default PNI config — beyond one v5e's HBM. The PNI model is therefore
+    built with block-granular rematerialization (UNetPNIEmbeddingDeep
+    remat=True); ``remat`` here additionally checkpoints the whole forward
+    (rarely needed)."""
 
     def apply_model(params, batch_stats, image):
         return model.apply({"params": params, "batch_stats": batch_stats},
