@@ -75,6 +75,29 @@ def embedding_to_affinity_2d(embedding: jnp.ndarray,
     return jnp.stack(chans, axis=1)
 
 
+def cross_affinity_2d(embedding: jnp.ndarray, other: jnp.ndarray,
+                      offsets, normalize: bool = True,
+                      padding: str = "valid") -> jnp.ndarray:
+    """Cross-view affinities: <N_a[p], N_b[p + offset]> -> (B, K, H, W).
+
+    The EMA-consistency loss dots the student embedding against the
+    offset-shifted TEACHER embedding (loss_embedding_mse.py:68-77).
+    """
+    assert padding in ("valid", "circular")
+    n_a = normalize_embedding(embedding, axis=-1) if normalize else embedding
+    n_b = normalize_embedding(other, axis=-1) if normalize else other
+    h, w = n_a.shape[1], n_a.shape[2]
+    chans = []
+    for off in offsets:
+        oy, ox = int(off[0]), int(off[1])
+        shifted = jnp.roll(n_b, shift=(-oy, -ox), axis=(1, 2))
+        a = jnp.sum(n_a * shifted, axis=-1)
+        if padding == "valid":
+            a = a * _valid_mask_2d((h, w), (oy, ox), a.dtype)[None]
+        chans.append(a)
+    return jnp.stack(chans, axis=1)
+
+
 def embedding_to_affinity_3d(embedding: jnp.ndarray,
                              shifts=(1, 1, 1, 2, 3, 3, 3, 9, 9, 4, 27, 27),
                              normalize: bool = True) -> jnp.ndarray:

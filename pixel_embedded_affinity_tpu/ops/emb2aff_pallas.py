@@ -149,6 +149,99 @@ fused_affinity_2d.defvjp(_fused_affinity_2d_fwd, _fused_affinity_2d_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Cross-view variant: dot the STUDENT embedding against the offset-shifted
+# TEACHER embedding (EMA consistency loss). Same tiling; the student tile
+# needs no halo, the teacher provides cur+prev blocks.
+# ---------------------------------------------------------------------------
+
+def _cross_affinity_kernel(offsets, a_ref, b_cur_ref, b_prev_ref, out_ref):
+    a = _normalize(a_ref[0])
+    b_cur = _normalize(b_cur_ref[0])
+    b_prev = _normalize(b_prev_ref[0])
+    th = a.shape[1]
+    w = a.shape[2]
+    for k, (oy, ox) in enumerate(offsets):
+        sy = -oy
+        if sy == 0:
+            rows = b_cur
+        else:
+            rows = jnp.concatenate(
+                [b_prev[:, th - sy:, :], b_cur[:, : th - sy, :]], axis=1)
+        if ox < 0:
+            s = -ox
+            zeros = jnp.zeros((rows.shape[0], th, s), rows.dtype)
+            shifted = jnp.concatenate([zeros, rows[:, :, : w - s]], axis=2)
+        elif ox > 0:
+            zeros = jnp.zeros((rows.shape[0], th, ox), rows.dtype)
+            shifted = jnp.concatenate([rows[:, :, ox:], zeros], axis=2)
+        else:
+            shifted = rows
+        out_ref[0, k] = jnp.sum(a * shifted, axis=0)
+
+
+def _fused_cross_affinity_2d_impl(a_bhwc, b_bhwc, offsets, tile_h, interpret):
+    b, h, w, c = a_bhwc.shape
+    max_sy = max(-int(o[0]) for o in offsets)
+    assert tile_h >= max_sy >= 0
+
+    at = jnp.transpose(a_bhwc, (0, 3, 1, 2))
+    bt = jnp.transpose(b_bhwc, (0, 3, 1, 2))
+    h_pad = tile_h + _round_up(h, tile_h) - h
+    w_pad = _round_up(max(w, 128), 128) - w
+    pads = ((0, 0), (0, 0), (tile_h, h_pad - tile_h), (0, w_pad))
+    at = jnp.pad(at, pads)
+    bt = jnp.pad(bt, pads)
+    hp, wp = at.shape[2], at.shape[3]
+    n_tiles = hp // tile_h
+    k = len(offsets)
+
+    kernel = functools.partial(_cross_affinity_kernel,
+                               tuple(map(tuple, offsets)))
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, c, tile_h, wp), lambda bi, i: (bi, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, tile_h, wp), lambda bi, i: (bi, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, tile_h, wp),
+                         lambda bi, i: (bi, 0, jnp.maximum(i - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k, tile_h, wp), lambda bi, i: (bi, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, k, hp, wp), a_bhwc.dtype),
+        interpret=interpret,
+    )(at, bt, bt)
+    return out[:, :, tile_h:tile_h + h, :w]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_cross_affinity_2d(a_bhwc, b_bhwc, offsets, tile_h: int = 32,
+                            interpret: bool = False):
+    """(student, teacher) (B,H,W,C) -> (B,K,H,W) cross affinities (valid)."""
+    return _fused_cross_affinity_2d_impl(a_bhwc, b_bhwc,
+                                         tuple(map(tuple, offsets)),
+                                         tile_h, interpret)
+
+
+def _fused_cross_fwd(a, b, offsets, tile_h, interpret):
+    return _fused_cross_affinity_2d_impl(a, b, offsets, tile_h, interpret), (a, b)
+
+
+def _fused_cross_bwd(offsets, tile_h, interpret, res, g):
+    from .emb2aff import cross_affinity_2d
+
+    a, b = res
+    _, vjp = jax.vjp(lambda x, y: cross_affinity_2d(x, y, offsets), a, b)
+    return vjp(g)
+
+
+fused_cross_affinity_2d.defvjp(_fused_cross_fwd, _fused_cross_bwd)
+
+
+# ---------------------------------------------------------------------------
 # 3D: xy channels reuse the 2D kernel over the (B*D) batch; z channels are a
 # cheap sliced dot handled by XLA fusion.
 # ---------------------------------------------------------------------------

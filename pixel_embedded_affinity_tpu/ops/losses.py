@@ -141,29 +141,32 @@ def ema_embedding_loss_2d(embedding_bhwc: jnp.ndarray,
                           mask_bkhw: jnp.ndarray,
                           offsets: Sequence[Sequence[int]],
                           criterion: Criterion = weighted_mse,
-                          affs0_weight: float = 1.0):
+                          affs0_weight: float = 1.0,
+                          use_pallas: bool = False,
+                          interpret: bool = False):
     """Cross-view loss: student embedding dotted with offset-shifted teacher.
 
     First two offsets are scaled by affs0_weight (reference parity).
     Gradients flow into both views (reference shares weights between views).
     """
-    n_s = normalize_embedding(embedding_bhwc, axis=-1)
-    n_t = normalize_embedding(ema_embedding_bhwc, axis=-1)
-    h, w = n_s.shape[1], n_s.shape[2]
-    mask = mask_bkhw.astype(n_s.dtype)
+    if use_pallas:
+        from .emb2aff_pallas import fused_cross_affinity_2d
+
+        affs = fused_cross_affinity_2d(embedding_bhwc, ema_embedding_bhwc,
+                                       tuple(map(tuple, offsets)), 32,
+                                       interpret)
+    else:
+        from .emb2aff import cross_affinity_2d
+
+        affs = cross_affinity_2d(embedding_bhwc, ema_embedding_bhwc, offsets)
+    mask = mask_bkhw.astype(affs.dtype)
     loss = 0.0
-    affs_list = []
-    from .emb2aff import _valid_mask_2d
-    for i, off in enumerate(offsets):
-        oy, ox = int(off[0]), int(off[1])
-        shifted = jnp.roll(n_t, shift=(-oy, -ox), axis=(1, 2))
-        a = jnp.sum(n_s * shifted, axis=-1)
-        a = a * _valid_mask_2d((h, w), (oy, ox), a.dtype)[None]
-        li = criterion(a * mask[:, i], target_bkhw[:, i] * mask[:, i],
+    for i in range(len(offsets)):
+        li = criterion(affs[:, i] * mask[:, i],
+                       target_bkhw[:, i] * mask[:, i],
                        weightmap_bkhw[:, i])
         loss = loss + (li * affs0_weight if i < 2 else li)
-        affs_list.append(a)
-    return loss, jnp.stack(affs_list, axis=1)
+    return loss, affs
 
 
 def deep_supervision_losses_2d(embeddings: Sequence[jnp.ndarray],

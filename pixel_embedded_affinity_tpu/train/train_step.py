@@ -86,7 +86,8 @@ def make_train_step_2d(model, tx, offsets, *, neighbor=4,
         loss_cross, _ = L.ema_embedding_loss_2d(
             embedding, ema_embedding, batch["affs"], batch["wmap"],
             batch["mask"], offsets, criterion=criterion,
-            affs0_weight=affs0_weight)
+            affs0_weight=affs0_weight, use_pallas=use_pallas,
+            interpret=interpret)
 
         loss_self = (loss_embedding * dwf[0]
                      + deep_losses[0] * dwf[1] + deep_losses[1] * dwf[2]

@@ -81,3 +81,26 @@ def test_fused_3d_gradient():
     g1 = jax.grad(lambda e: jnp.sum(fused_affinity_3d(e, shifts, 32, INTERPRET) ** 2))(emb)
     g2 = jax.grad(lambda e: jnp.sum(embedding_to_affinity_3d(e, shifts) ** 2))(emb)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_fused_cross_affinity_matches_oracle():
+    from pixel_embedded_affinity_tpu.ops.emb2aff import cross_affinity_2d
+    from pixel_embedded_affinity_tpu.ops.emb2aff_pallas import (
+        fused_cross_affinity_2d)
+
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.normal(size=(2, 64, 70, 8)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(2, 64, 70, 8)).astype(np.float32))
+    offsets = tuple(map(tuple, multi_offset([1, 3, 9], neighbor=4)))
+    got = np.asarray(fused_cross_affinity_2d(a, b, offsets, 32, INTERPRET))
+    exp = np.asarray(cross_affinity_2d(a, b, offsets))
+    np.testing.assert_allclose(got, exp, atol=1e-5)
+
+    # gradient parity through both inputs
+    g1 = jax.grad(lambda x, y: jnp.sum(
+        fused_cross_affinity_2d(x, y, offsets, 32, INTERPRET) ** 2),
+        argnums=(0, 1))(a, b)
+    g2 = jax.grad(lambda x, y: jnp.sum(
+        cross_affinity_2d(x, y, offsets) ** 2), argnums=(0, 1))(a, b)
+    for u, v in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=1e-4)
