@@ -50,7 +50,12 @@ def run_inference_3d(cfg: Config, variables, volume: np.ndarray,
 
     engine = TiledInference3D(crop_size=crop_size, stride=stride,
                               padding=padding, batch_size=batch_size)
-    affs = engine.run(volume, predict, n_channels=len(SHIFTS_3D))
+    if jax.devices()[0].platform == "tpu":
+        # upload the volume once; tiles/accumulation stay in HBM
+        affs = engine.run_device_resident(volume, predict,
+                                          n_channels=len(SHIFTS_3D))
+    else:
+        affs = engine.run(volume, predict, n_channels=len(SHIFTS_3D))
 
     out = {}
     for dec in decoders:

@@ -71,6 +71,70 @@ class TiledInference3D:
         self.weight = gaussian_blend_weight(self.crop_size, sigma=sigma)
         self.device_accumulate = device_accumulate
 
+    def run_device_resident(self, volume: np.ndarray, predict_fn: Callable,
+                            n_channels: int,
+                            progress: Callable | None = None) -> np.ndarray:
+        """Fully device-resident variant: the padded volume is uploaded to HBM
+        ONCE; tile extraction, prediction, Gaussian weighting and canvas
+        accumulation all run inside one jitted step with donated canvases.
+        Only the final stitched canvas returns to host. Removes all per-tile
+        host<->device traffic (the reference round-trips every tile)."""
+        import jax
+        import jax.numpy as jnp
+
+        pad = self.padding
+        vol = np.pad(volume, ((pad[0], pad[0]), (pad[1], pad[1]),
+                              (pad[2], pad[2])), mode="reflect")
+        pshape = vol.shape
+        positions = tile_grid(pshape, self.crop_size, self.stride)
+        cz, cy, cx = self.crop_size
+        bs = self.batch_size
+        # pad the position list to a batch multiple (repeat last; the extra
+        # accumulations are normalized away by the weight map)
+        pos = list(positions)
+        while len(pos) % bs:
+            pos.append(pos[-1])
+        pos_arr = np.asarray(pos, np.int32).reshape(-1, bs, 3)
+
+        vol_d = jax.device_put(jnp.asarray(vol))
+        weight = jnp.asarray(self.weight)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(canvas, wmap, pos_b, vol_in):
+            tiles = jax.vmap(lambda p: jax.lax.dynamic_slice(
+                vol_in, (p[0], p[1], p[2]), (cz, cy, cx)))(pos_b)
+            affs = predict_fn(tiles[..., None])  # (B, K, cz, cy, cx)
+
+            def body(i, carry):
+                cv, wm = carry
+                z, y, x = pos_b[i, 0], pos_b[i, 1], pos_b[i, 2]
+                cv = jax.lax.dynamic_update_slice(
+                    cv,
+                    jax.lax.dynamic_slice(cv, (0, z, y, x),
+                                          (n_channels, cz, cy, cx))
+                    + affs[i] * weight[None],
+                    (0, z, y, x))
+                wm = jax.lax.dynamic_update_slice(
+                    wm,
+                    jax.lax.dynamic_slice(wm, (z, y, x), (cz, cy, cx))
+                    + weight,
+                    (z, y, x))
+                return cv, wm
+
+            return jax.lax.fori_loop(0, bs, body, (canvas, wmap))
+
+        canvas = jnp.zeros((n_channels,) + pshape, jnp.float32)
+        wmap = jnp.zeros(pshape, jnp.float32)
+        for i, pb in enumerate(pos_arr):
+            canvas, wmap = step(canvas, wmap, jnp.asarray(pb), vol_d)
+            if progress is not None:
+                progress((i + 1) * bs, len(pos))
+        canvas = np.asarray(canvas)
+        wmap = np.asarray(wmap)
+        out = canvas / np.maximum(wmap[None], 1e-12)
+        sl = tuple(slice(p, s - p) for p, s in zip(pad, pshape))
+        return out[(slice(None),) + sl]
+
     def run(self, volume: np.ndarray, predict_fn: Callable, n_channels: int,
             progress: Callable | None = None) -> np.ndarray:
         import jax

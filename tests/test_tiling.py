@@ -94,3 +94,44 @@ def test_tiler_constant_volume_identity():
                               device_accumulate=False)
     out = engine.run(vol, predict, n_channels=3)
     np.testing.assert_allclose(out, 0.7, atol=1e-5)
+
+
+def test_device_resident_matches_host_path():
+    """run_device_resident == run (constant predictor, CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    vol = np.random.default_rng(0).random((20, 48, 48)).astype(np.float32)
+
+    def predict_np(tiles):
+        return np.full((tiles.shape[0], 3, 12, 32, 32), 0.7, np.float32)
+
+    def predict_jnp(tiles):
+        return jnp.full((tiles.shape[0], 3, 12, 32, 32), 0.7, jnp.float32)
+
+    engine = TiledInference3D(crop_size=(12, 32, 32), stride=(6, 16, 16),
+                              padding=(2, 8, 8), batch_size=4,
+                              device_accumulate=False)
+    a = engine.run(vol, predict_np, n_channels=3)
+    b = engine.run_device_resident(vol, predict_jnp, n_channels=3)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_device_resident_tile_content():
+    """Tiles extracted on device carry the right content (mean predictor)."""
+    import jax.numpy as jnp
+
+    vol = np.random.default_rng(1).random((16, 40, 40)).astype(np.float32)
+
+    def predict(tiles):
+        # broadcast each tile's mean across one channel
+        m = jnp.mean(tiles[..., 0], axis=(1, 2, 3))
+        return jnp.ones((tiles.shape[0], 1, 12, 24, 24)) * m[:, None, None,
+                                                             None, None]
+
+    engine = TiledInference3D(crop_size=(12, 24, 24), stride=(6, 12, 12),
+                              padding=(2, 4, 4), batch_size=2)
+    out = engine.run_device_resident(vol, predict, n_channels=1)
+    assert out.shape == (1, 16, 40, 40)
+    # values must be near the volume's global mean (tile means blend)
+    assert abs(out.mean() - vol.mean()) < 0.15
