@@ -74,6 +74,48 @@ def gen_mask_3d(shape, rng, min_counts=0, max_counts=60,
     return mask
 
 
+def missing_section_augment(imgs, rng, max_sections: int = 2,
+                            fill_mode: str = "mix"):
+    """EM missing-section augmentation (utils/augmentation.py MissingAugment
+    role): a few random z-slices are blanked (zero) or noise-filled."""
+    out = imgs.copy()
+    n = int(rng.integers(1, max_sections + 1))
+    for z in rng.choice(imgs.shape[0], size=min(n, imgs.shape[0]),
+                        replace=False):
+        if fill_mode == "noise" or (fill_mode == "mix" and rng.random() < 0.5):
+            out[z] = rng.random(imgs.shape[1:]).astype(imgs.dtype)
+        else:
+            out[z] = 0.0
+    return out
+
+
+def misalign_augment(imgs, label, rng, max_shift: int = 10):
+    """EM misalignment augmentation: slices above a random z get a rigid xy
+    translation (create_misalign-style); label moves with the image."""
+    z0 = int(rng.integers(1, imgs.shape[0]))
+    dy = int(rng.integers(-max_shift, max_shift + 1))
+    dx = int(rng.integers(-max_shift, max_shift + 1))
+    if dy == 0 and dx == 0:
+        return imgs, label
+
+    def shift2d(a, fill):
+        out = np.full_like(a, fill)
+        h, w = a.shape
+        ys = slice(max(dy, 0), h + min(dy, 0))
+        xs = slice(max(dx, 0), w + min(dx, 0))
+        ys_src = slice(max(-dy, 0), h + min(-dy, 0))
+        xs_src = slice(max(-dx, 0), w + min(-dx, 0))
+        out[ys, xs] = a[ys_src, xs_src]
+        return out
+
+    imgs = imgs.copy()
+    label = label.copy()
+    for z in range(z0, imgs.shape[0]):
+        imgs[z] = shift2d(imgs[z], 0.0)
+        label[z] = shift2d(label[z], 0)
+    return imgs, label
+
+
 def intensity_augment_3d(imgs, rng, mode="mix"):
     """Per-slice or whole-volume contrast/brightness/gamma jitter."""
     if mode == "mix":
@@ -216,6 +258,11 @@ class AC3AC4Train:
                                   ).astype(lb.dtype)
         if rng.random() < 0.5:  # grayscale
             imgs = intensity_augment_3d(imgs, rng)
+        if rng.random() < 0.2:  # EM artifacts: missing sections / misalign
+            if rng.random() < 0.5:
+                imgs = missing_section_augment(imgs, rng)
+            else:
+                imgs, lb = misalign_augment(imgs, lb, rng)
         return imgs, lb
 
 

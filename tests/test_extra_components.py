@@ -143,3 +143,21 @@ def test_mean_iou():
     pred = np.array([[0, 1, 1, 1]])
     # class 0: i=1 u=2; class 1: i=2 u=3
     assert np.isclose(mean_iou(pred, gt, 2), (0.5 + 2 / 3) / 2)
+
+
+def test_em_artifact_augmentations():
+    from pixel_embedded_affinity_tpu.data.ac3ac4 import (
+        missing_section_augment, misalign_augment)
+
+    rng = np.random.default_rng(0)
+    imgs = np.full((8, 20, 20), 0.5, np.float32)
+    out = missing_section_augment(imgs, rng, max_sections=2, fill_mode="zero")
+    changed = [(out[z] != imgs[z]).any() for z in range(8)]
+    assert 1 <= sum(changed) <= 2
+    assert (out[np.argmax(changed)] == 0).all()
+
+    lab = np.arange(8 * 20 * 20).reshape(8, 20, 20)
+    imgs2, lab2 = misalign_augment(imgs, lab, np.random.default_rng(3))
+    assert imgs2.shape == imgs.shape
+    # slices below the misalignment point are untouched
+    assert (lab2[0] == lab[0]).all()
