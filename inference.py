@@ -60,6 +60,14 @@ def main():
                                       decoders=tuple(args.decoders.split(",")))
         for dec, (seg, m) in results.items():
             print(dec, json.dumps(m))
+    elif args.mode == "test" and cfg.name == "cvppp":
+        from pixel_embedded_affinity_tpu.data.cvppp import CVPPPTest
+        from pixel_embedded_affinity_tpu.infer.inference2d import run_cvppp_test
+
+        ds = CVPPPTest(cfg.data.data_folder, padding=cfg.data.padding)
+        out = args.out or "submission.h5"
+        segs, names = run_cvppp_test(cfg, variables, ds, out)
+        print(json.dumps({"submission": out, "images": len(names)}))
     else:
         from pixel_embedded_affinity_tpu.infer import run_inference_2d
 

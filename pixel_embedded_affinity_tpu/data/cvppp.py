@@ -193,18 +193,57 @@ class CVPPPValidation:
                 "seg": label.astype(np.int32)}
 
 
+class CVPPPTest:
+    """Test images (data_folder/test/plantXXX_{rgb,fg}.png): no labels; the
+    foreground mask is given (CodaLab protocol, inference.py:77-84)."""
+
+    def __init__(self, data_folder: str, padding: bool = True):
+        import os as _os
+
+        self.dir = _os.path.join(data_folder, "test")
+        files = _os.listdir(self.dir)
+        self.names = sorted({f[:8] for f in files if "rgb" in f},
+                            key=lambda x: int(x[5:8]))
+        self.padding = padding
+
+    def __len__(self):
+        return len(self.names)
+
+    def __getitem__(self, idx):
+        import cv2
+
+        name = self.names[idx]
+        img = cv2.imread(os.path.join(self.dir, name + "_rgb.png"),
+                         cv2.IMREAD_COLOR)[:, :, ::-1].astype(np.float32) / 255.0
+        fg = cv2.imread(os.path.join(self.dir, name + "_fg.png"),
+                        cv2.IMREAD_UNCHANGED)
+        if fg.ndim == 3:
+            fg = fg[..., 0]
+        fg = (fg > 0).astype(np.uint8)
+        if self.padding:
+            img = np.pad(img, ((7, 7), (22, 22), (0, 0)), mode="reflect")
+            fg = np.pad(fg, ((7, 7), (22, 22)), mode="constant")
+        image = C.normalize_imagenet(img)
+        return {"image": np.ascontiguousarray(image, np.float32),
+                "fg": fg, "name": name}
+
+
 def synthesize(data_folder: str, n_train: int = 12, h: int = 530, w: int = 500,
-               n_valid: int = 3, seed: int = 0):
+               n_valid: int = 3, n_test: int = 0, seed: int = 0):
     """Write a synthetic CVPPP-layout dataset (leaf-like blobs)."""
     import cv2
 
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(data_folder, "train"), exist_ok=True)
     os.makedirs(os.path.join(data_folder, "valid_set"), exist_ok=True)
+    if n_test:
+        os.makedirs(os.path.join(data_folder, "test"), exist_ok=True)
     names = []
-    for i in range(n_train):
+    for i in range(n_train + n_test):
+        split = "train" if i < n_train else "test"
         name = f"plant{i:03d}"
-        names.append(name)
+        if split == "train":
+            names.append(name)
         label = np.zeros((h, w), np.uint8)
         img = rng.normal(0.1, 0.03, (h, w, 3)).astype(np.float32)
         n_leaves = int(rng.integers(4, 12))
@@ -227,12 +266,13 @@ def synthesize(data_folder: str, n_train: int = 12, h: int = 530, w: int = 500,
             np.full((label > 0).sum(), 0.1)], axis=-1)
         img += rng.normal(0, 0.02, img.shape)
         img = np.clip(img, 0, 1)
-        cv2.imwrite(os.path.join(data_folder, "train", name + "_rgb.png"),
+        cv2.imwrite(os.path.join(data_folder, split, name + "_rgb.png"),
                     (img[:, :, ::-1] * 255).astype(np.uint8))
-        cv2.imwrite(os.path.join(data_folder, "train", name + "_label.png"),
-                    label)
+        if split == "train":
+            cv2.imwrite(os.path.join(data_folder, split, name + "_label.png"),
+                        label)
         fg = (label > 0).astype(np.uint8) * 255
-        cv2.imwrite(os.path.join(data_folder, "train", name + "_fg.png"), fg)
+        cv2.imwrite(os.path.join(data_folder, split, name + "_fg.png"), fg)
     with open(os.path.join(data_folder, "valid_set", "local_20_1.txt"), "w") as f:
         for n in names[:n_valid]:
             f.write(n + "\n")

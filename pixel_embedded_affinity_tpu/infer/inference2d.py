@@ -101,6 +101,45 @@ def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None
     return results, agg
 
 
+def run_cvppp_test(cfg: Config, variables, dataset, out_path: str,
+                   use_pallas: bool | None = None):
+    """CVPPP test protocol: FG mask given, no labels; decode + write the
+    CodaLab submission.h5 (inference.py:277-293)."""
+    import jax
+
+    from ..train.loop import build_model
+    from ..ops.emb2aff_pallas import fused_affinity_2d
+    from ..ops import embedding_to_affinity_2d
+
+    model = build_model(cfg)
+    offsets = multi_offset(list(cfg.data.shifts), neighbor=cfg.data.neighbor)
+    offsets_t = tuple(map(tuple, offsets))
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+
+    @jax.jit
+    def forward(image):
+        _, _, _, _, embedding, _ = model.apply(variables, image, train=False)
+        if use_pallas:
+            return jax.nn.relu(fused_affinity_2d(embedding, offsets_t, 32,
+                                                 False))
+        return jax.nn.relu(embedding_to_affinity_2d(embedding, offsets_t))
+
+    segs, names = [], []
+    for i in range(len(dataset)):
+        s = dataset[i]
+        affs = np.asarray(forward(s["image"][None]))[0]
+        seg = seg_mutex(affs, offsets=offsets, strides=list(cfg.data.strides),
+                        mask=s["fg"]).astype(np.uint16)
+        seg = merge_func(seg)
+        seg = relabel(seg).astype(np.uint16)
+        segs.append(seg)
+        names.append(s["name"])
+    write_cvppp_submission(segs, names, out_path,
+                           pad=(7, 22) if cfg.data.padding else (0, 0))
+    return segs, names
+
+
 def write_cvppp_submission(segs: list[np.ndarray], names: list[str],
                            out_path: str, pad=(7, 22)):
     """CodaLab submission.h5: A1/plantXXX/label datasets, padding stripped."""

@@ -95,3 +95,32 @@ def test_convert_mask_to_instances():
     m[30:38, 30:38] = 1  # 64 px
     ins = convert_mask_to_instances(m, min_size=25)
     assert set(np.unique(ins)) == {0, 1, 2}
+
+
+def test_cvppp_test_mode_submission(tmp_path):
+    """CVPPP test protocol: FG-given decode -> CodaLab submission.h5."""
+    import jax
+    import h5py
+
+    from pixel_embedded_affinity_tpu.data.cvppp import synthesize, CVPPPTest
+    from pixel_embedded_affinity_tpu.infer.inference2d import run_cvppp_test
+    from pixel_embedded_affinity_tpu.train.loop import build_model
+
+    folder = str(tmp_path / "cvppp")
+    synthesize(folder, n_train=2, n_valid=1, n_test=2, h=114, w=84)
+    cfg = load_config("cvppp", overrides={
+        "data": {"data_folder": folder}})
+    cfg.model.filters = (4, 6, 8, 12, 16)
+
+    ds = CVPPPTest(folder)
+    assert len(ds) == 2
+    model = build_model(cfg)
+    s0 = ds[0]
+    variables = model.init(jax.random.PRNGKey(0), s0["image"][None],
+                           train=False)
+    out = str(tmp_path / "submission.h5")
+    segs, names = run_cvppp_test(cfg, variables, ds, out, use_pallas=False)
+    assert names == ["plant002", "plant003"]
+    with h5py.File(out, "r") as f:
+        assert f"A1/{names[0]}/label" in f
+        assert f[f"A1/{names[0]}/label"].shape == (114, 84)
