@@ -258,6 +258,9 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
             use_pallas=cfg.train.use_pallas, interpret=interpret))
 
     logger = ScalarLogger(log_dir or os.path.join(save_path, "log"))
+    from ..utils.guards import LossWatchdog
+
+    watchdog = LossWatchdog(save_dir=save_path)
     history = []
     sum_loss = 0.0
     t_start = time.time()
@@ -266,7 +269,9 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
     while it < total_iters:
         it += 1
         state, pred, metrics = jit_step(state, batch)
-        sum_loss += float(metrics["loss"])
+        loss_val = float(metrics["loss"])
+        watchdog.check(loss_val, state=None, step=it)
+        sum_loss += loss_val
         if it % cfg.train.display_freq == 0 or it == 1:
             dt = time.time() - t_start
             avg = sum_loss / (cfg.train.display_freq if it > 1 else 1)

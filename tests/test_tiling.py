@@ -5,6 +5,8 @@ ground-truth affinities through tile/stitch must reproduce them exactly in
 the interior (Gaussian blending of identical overlapping values is identity).
 """
 
+import functools
+
 import numpy as np
 
 from synth import tile_labels_3d
@@ -135,3 +137,30 @@ def test_device_resident_tile_content():
     assert out.shape == (1, 16, 40, 40)
     # values must be near the volume's global mean (tile means blend)
     assert abs(out.mean() - vol.mean()) < 0.15
+
+
+def test_tile_parallel_predict_over_mesh():
+    """Tile batches shard over the 8-device mesh (tile parallelism)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P, NamedSharding
+
+    from pixel_embedded_affinity_tpu.parallel import get_mesh, batch_sharding
+
+    mesh = get_mesh()
+    bsh = batch_sharding(mesh)
+
+    @functools.partial(jax.jit, in_shardings=(bsh,), out_shardings=bsh)
+    def predict(tiles):
+        return jnp.mean(tiles, axis=-1, keepdims=True).transpose(
+            0, 4, 1, 2, 3) * jnp.ones((1, 3, 1, 1, 1))
+
+    vol = np.random.default_rng(0).random((16, 40, 40)).astype(np.float32)
+    engine = TiledInference3D(crop_size=(12, 24, 24), stride=(6, 12, 12),
+                              padding=(2, 4, 4), batch_size=8,
+                              device_accumulate=False)
+    out = engine.run(vol, lambda t: np.asarray(predict(jnp.asarray(t))),
+                     n_channels=3)
+    assert out.shape == (3, 16, 40, 40)
+    assert np.isfinite(out).all()
+
