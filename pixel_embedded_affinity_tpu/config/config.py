@@ -70,6 +70,7 @@ class DataConfig:
     if_ema_intensity: bool = True
     if_ema_mask: bool = True
     if_ema_flip: bool = True
+    device_gt: bool = False  # generate GT targets on device (2D pipelines)
     # 3D
     dataset_name: str = "ac4"
     train_split: int = 80

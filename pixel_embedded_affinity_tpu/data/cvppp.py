@@ -33,10 +33,11 @@ class CVPPPTrain:
                  mode: str = "train", aug_mode: str = "xiaoyu",
                  ema_noise: bool = False, ema_blur: bool = False,
                  ema_intensity: bool = True, ema_mask: bool = True,
-                 ema_flip: bool = True,
+                 ema_flip: bool = True, light: bool = False,
                  seed: int = 555):
         self.data_folder = data_folder
         self.aug_mode = aug_mode
+        self.light = light  # emit only image/ema_image/seg/rules (device GT)
         self.size = size
         self.offsets = multi_offset(list(shifts), neighbor=neighbor)
         self.nb_half = neighbor // 2
@@ -99,6 +100,13 @@ class CVPPPTrain:
                 img, label = random_affine(img, label, rng)
         image = C.normalize_imagenet(img)
 
+        if self.light:
+            return build_cvppp_light(image, label, rng,
+                                     ema_noise=self.ema_noise,
+                                     ema_blur=self.ema_blur,
+                                     ema_intensity=self.ema_intensity,
+                                     ema_mask=self.ema_mask,
+                                     ema_flip=self.ema_flip)
         return build_cvppp_targets(image, label, self.offsets, self.nb_half,
                                    self.separate_weight, rng,
                                    ema_noise=self.ema_noise,
@@ -106,6 +114,30 @@ class CVPPPTrain:
                                    ema_intensity=self.ema_intensity,
                                    ema_mask=self.ema_mask,
                                    ema_flip=self.ema_flip)
+
+
+def build_cvppp_light(image_hwc, label, rng, ema_noise=False, ema_blur=False,
+                      ema_intensity=True, ema_mask=True, ema_flip=True):
+    """Light sample for device-side GT: image + EMA view + labels + rules."""
+    ema = C.denormalize_imagenet(image_hwc).copy()
+    if ema_noise:
+        ema = C.add_gauss_noise(ema, rng)
+    if ema_blur:
+        ema = C.add_gauss_blur(ema, rng)
+    if ema_intensity:
+        ema = C.add_intensity(ema, rng)
+    if ema_mask:
+        ema = C.add_mask(ema, (label != 0).astype(np.uint8), rng)
+    ema = C.normalize_imagenet(ema)
+    if ema_flip:
+        rule = C.flip_ema_rule(rng)
+        ema = C.simple_augment(ema, rule.astype(np.uint8))
+    else:
+        rule = np.zeros(3, np.float32)
+    return {"image": np.ascontiguousarray(image_hwc, np.float32),
+            "ema_image": np.ascontiguousarray(ema, np.float32),
+            "seg": label.astype(np.int32),
+            "rules": rule}
 
 
 def build_cvppp_targets(image_hwc, label, offsets, nb_half, separate_weight,

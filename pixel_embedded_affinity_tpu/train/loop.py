@@ -67,6 +67,7 @@ def build_dataset(cfg: Config):
                            ema_intensity=cfg.data.if_ema_intensity,
                            ema_mask=cfg.data.if_ema_mask,
                            ema_flip=cfg.data.if_ema_flip,
+                           light=cfg.data.device_gt,
                            seed=cfg.train.random_seed)
         valid = CVPPPValidation(cfg.data.data_folder,
                                 shifts=tuple(cfg.data.shifts),
@@ -245,7 +246,7 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
             deep_weight=cfg.train.deep_weight, self_emb=cfg.train.self_emb,
             cross_emb=cfg.train.cross_emb, mask_weight=cfg.train.mask_weight,
             ct_weight=cfg.train.ct_weight, use_pallas=cfg.train.use_pallas,
-            interpret=interpret)
+            interpret=interpret, device_gt=cfg.data.device_gt)
 
     batch_shardings = {k: bsh for k in batch0}
     jit_step = jax.jit(step_fn,

@@ -45,7 +45,12 @@ def make_train_step_2d(model, tx, offsets, *, neighbor=4,
                        criterion=L.weighted_mse, affs0_weight=1.0,
                        deep_weight=1, self_emb=1.0, cross_emb=1.0,
                        mask_weight=0.0, ct_weight=0.0,
-                       use_pallas=True, interpret=False, remat=False):
+                       use_pallas=True, interpret=False, remat=False,
+                       device_gt=False):
+    """``device_gt``: the batch carries only image/ema_image/seg/rules; GT
+    affinities, weight maps, masks and pyramid targets are generated on
+    device inside this jit (ops/affinity_jax.py) — ~12x less host->device
+    traffic than shipping precomputed float targets."""
     offsets = tuple(map(tuple, offsets))
     nb_half = neighbor // 2
     dwf = deep_weight_factors(deep_weight)
@@ -57,6 +62,13 @@ def make_train_step_2d(model, tx, offsets, *, neighbor=4,
     apply_fn = jax.checkpoint(apply_model) if remat else apply_model
 
     def loss_fn(params, batch_stats, batch):
+        if device_gt:
+            from ..ops.affinity_jax import build_targets_2d_jax
+
+            affs_t, wmap_t, mask_t, downs_t = build_targets_2d_jax(
+                batch["seg"], offsets, neighbor=neighbor)
+            batch = dict(batch, affs=affs_t, wmap=wmap_t, mask=mask_t,
+                         **{f"down{k+1}": d for k, d in enumerate(downs_t)})
         (e1, e2, e3, e4, embedding, pred_mask), mut = apply_fn(
             params, batch_stats, batch["image"])
         (_, _, _, _, ema_embedding, _), mut = apply_fn(
