@@ -186,13 +186,45 @@ def validate_2d(cfg: Config, eval_step, state, valid_dataset, offsets,
             "valid/ARAND": float(np.mean(arands))}
 
 
+def validate_3d(cfg: Config, model, state, valid_volume, iters: int = 0,
+                decoders=("waterz",), crop_size=(18, 160, 160),
+                stride=(10, 80, 80), padding=(4, 48, 48)):
+    """Full-volume tiled validation (scripts_ac3ac4/main.py:276-366): tiled
+    forward -> stitch -> decode -> VOI/ARAND, plus affinity MSE/BCE."""
+    from ..infer.inference3d import run_inference_3d
+    from ..ops.affinity_np import seg_to_aff_3d_12ch
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    affs, results = run_inference_3d(
+        cfg, variables, valid_volume.raw, gt=valid_volume.label,
+        decoders=decoders, crop_size=crop_size, stride=stride,
+        padding=padding)
+    out = {}
+    for dec, (seg, m) in results.items():
+        for k, v in m.items():
+            out[f"valid/{dec}_{k}"] = float(v)
+    gt_affs = seg_to_aff_3d_12ch(valid_volume.label)
+    diff = affs - gt_affs
+    out["valid/affs_mse"] = float(np.mean(diff ** 2))
+    p = np.clip(affs, 1e-6, 1 - 1e-6)
+    out["valid/affs_bce"] = float(np.mean(
+        -(gt_affs * np.log(p) + (1 - gt_affs) * np.log(1 - p))))
+    return out
+
+
 def train(cfg: Config, max_iters: int | None = None, data_override=None,
           interpret: bool = False, log_dir: str | None = None):
     """Run training; returns the final state (and metrics history)."""
     import jax
 
     total_iters = max_iters or cfg.train.total_iters
-    mesh = get_mesh()
+    # use the largest device count that divides the batch (the reference
+    # DataParallel refused non-divisible batches; we shrink the mesh instead)
+    devices = jax.devices()
+    n_use = len(devices)
+    while cfg.train.batch_size % n_use:
+        n_use -= 1
+    mesh = get_mesh(devices[:n_use])
     bsh = batch_sharding(mesh)
     rsh = replicated_sharding(mesh)
 
@@ -279,14 +311,27 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
             log.info("step %d, loss=%.6f (%.2f s)", it, avg, dt)
             logger.add(it, loss=avg, sec_per_iter=dt / max(it, 1))
             sum_loss = 0.0
-        if cfg.train.if_valid and eval_step is not None and valid_ds is not None \
-                and len(valid_ds) > 0 and (it % cfg.train.valid_freq == 0):
-            m = validate_2d(cfg, eval_step, state, valid_ds, offsets,
-                            iters=it,
-                            show_dir=os.path.join(save_path, "valid"))
-            log.info("valid @%d: %s", it, m)
-            logger.add(it, **m)
-            history.append({"step": it, **m})
+        if cfg.train.if_valid and valid_ds is not None \
+                and (it % cfg.train.valid_freq == 0):
+            if is_3d:
+                cz, cy, cx = cfg.data.crop_size
+                # reference geometry: stride = (cz-8, cy/2, cx/2),
+                # pad = (4, 48, 48) at (18, 160, 160); scale for small crops
+                m = validate_3d(cfg, model, state, valid_ds, iters=it,
+                                crop_size=(cz, cy, cx),
+                                stride=(max(cz - 8, 1), cy // 2, cx // 2),
+                                padding=(min(4, cz // 4), min(48, cy // 4),
+                                         min(48, cx // 4)))
+            elif eval_step is not None and len(valid_ds) > 0:
+                m = validate_2d(cfg, eval_step, state, valid_ds, offsets,
+                                iters=it,
+                                show_dir=os.path.join(save_path, "valid"))
+            else:
+                m = None
+            if m:
+                log.info("valid @%d: %s", it, m)
+                logger.add(it, **m)
+                history.append({"step": it, **m})
         if it % cfg.train.save_freq == 0 or it == total_iters:
             save_checkpoint(save_path, state, it)
         if it < total_iters:

@@ -87,3 +87,34 @@ def test_train_ac3ac4_3d_step(cvppp_data):
     assert np.isfinite(float(metrics["loss"]))
     assert pred.shape == (2, 12, 18, 64, 64)
     provider.close()
+
+
+def test_train_ac3ac4_3d_loop_with_validation():
+    """Two 3D loop iterations + tiled waterz validation (small synthetic)."""
+    import os
+
+    from pixel_embedded_affinity_tpu.config import load_config
+    from pixel_embedded_affinity_tpu.data.ac3ac4 import (
+        AC3AC4Train, AC3AC4ValidVolume, synthesize_volume)
+    from pixel_embedded_affinity_tpu.train.loop import train
+
+    raw, label = synthesize_volume(d=30, h=96, w=96, n_cells=20, seed=4)
+    cfg = load_config("ac3ac4", overrides={
+        "train": {"batch_size": 2, "num_workers": 1, "display_freq": 1,
+                  "valid_freq": 2, "save_freq": 2, "use_pallas": False,
+                  "total_iters": 2},
+        "data": {"crop_size": (18, 64, 64)},
+        "save_path": "/tmp/pea_test_models_3d",
+    })
+    cfg.model.filters = (4, 6, 8, 12, 16)
+    train_ds = AC3AC4Train("", train_split=30, crop_size=(18, 64, 64),
+                           padding=8, arrays=(raw, label))
+    valid = AC3AC4ValidVolume("", arrays=(raw[:20], label[:20]))
+
+    state, history = train(cfg, max_iters=2, data_override=(train_ds, valid),
+                           interpret=False)
+    assert int(state.step) == 2
+    assert len(history) == 1
+    m = history[0]
+    assert np.isfinite(m["valid/waterz_voi"])
+    assert np.isfinite(m["valid/affs_mse"])
