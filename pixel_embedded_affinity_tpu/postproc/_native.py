@@ -60,6 +60,10 @@ def get_lib() -> ctypes.CDLL:
         lib.agglomerate_mean.argtypes = [f32p, u64p, i64, i64, i64,
                                          ctypes.c_double, u64p]
 
+        lib.agglomerate_scored.restype = i64
+        lib.agglomerate_scored.argtypes = [f32p, u64p, i64, i64, i64,
+                                           ctypes.c_double, i32, u64p]
+
         lib.rag_mean_affinity.restype = i64
         lib.rag_mean_affinity.argtypes = [u64p, f32p, i64, i64, i64,
                                           ctypes.c_void_p, ctypes.c_void_p,

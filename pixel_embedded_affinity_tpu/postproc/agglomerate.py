@@ -15,15 +15,22 @@ from .watershed import watershed_from_affs
 
 
 def agglomerate(affs: np.ndarray, fragments: np.ndarray,
-                threshold: float = 0.5) -> np.ndarray:
-    """affs (3, D, H, W) float; fragments (D, H, W) uint64 -> merged labels."""
+                threshold: float = 0.5,
+                scoring: str = "mean") -> np.ndarray:
+    """affs (3, D, H, W) float; fragments (D, H, W) uint64 -> merged labels.
+
+    scoring 'mean' = waterz OneMinus<MeanAffinity> (the reference default);
+    'quantile50' = OneMinus<HistogramQuantileAffinity<50, 256>> (the
+    commented alternative sf in scripts_ac3ac4/inference.py:216).
+    """
     lib = get_lib()
     affs = np.ascontiguousarray(affs, dtype=np.float32)
     fragments = np.ascontiguousarray(fragments, dtype=np.uint64)
     d, h, w = fragments.shape
     out = np.zeros(fragments.size, dtype=np.uint64)
-    lib.agglomerate_mean(affs.reshape(3, -1), fragments.reshape(-1),
-                         d, h, w, float(threshold), out)
+    mode = {"mean": 0, "quantile50": 1}[scoring]
+    lib.agglomerate_scored(affs.reshape(3, -1), fragments.reshape(-1),
+                           d, h, w, float(threshold), mode, out)
     return out.reshape(d, h, w)
 
 

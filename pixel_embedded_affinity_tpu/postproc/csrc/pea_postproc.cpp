@@ -12,6 +12,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC -std=c++17
 
 #include <algorithm>
+#include <array>
 #include <cstdint>
 #include <cstring>
 #include <cmath>
@@ -233,15 +234,60 @@ void seeded_watershed_2d(const float* cost, const int32_t* seeds,
 }
 
 // ---------------------------------------------------------------------------
-// Mean-affinity hierarchical agglomeration (waterz-equivalent scoring
-// 'OneMinus<MeanAffinity>'): merge fragment pairs while 1 - mean_affinity of
-// their shared boundary < threshold, lowest score first. fragments uint64
+// Hierarchical agglomeration (waterz-equivalent scoring): merge fragment
+// pairs while score < threshold, lowest score first. fragments uint64
 // (label 0 = ignore). affs: (3, D, H, W), channel d = affinity to -1 along
 // axis d. Writes merged labels to out; returns #segments.
+// scoring: 0 = OneMinus<MeanAffinity> (waterz default sf), 1 =
+// OneMinus<QuantileAffinity<50, 256 bins>> (discretized median, the
+// commented-out alternative sf in scripts_ac3ac4/inference.py:216).
 // ---------------------------------------------------------------------------
+namespace {
+struct EdgeHist {
+    double sum = 0;
+    double cnt = 0;
+    std::array<uint32_t, 256> bins{};
+
+    void add(float a) {
+        sum += a;
+        cnt += 1;
+        int b = (int)(a * 255.0f + 0.5f);
+        bins[std::min(std::max(b, 0), 255)] += 1;
+    }
+    void merge(const EdgeHist& o) {
+        sum += o.sum;
+        cnt += o.cnt;
+        for (int i = 0; i < 256; ++i) bins[i] += o.bins[i];
+    }
+    double mean() const { return sum / cnt; }
+    double quantile(double q) const {
+        double target = q * cnt;
+        double acc = 0;
+        for (int i = 0; i < 256; ++i) {
+            acc += bins[i];
+            if (acc >= target) return i / 255.0;
+        }
+        return 1.0;
+    }
+    double score(int scoring) const {
+        return 1.0 - (scoring == 1 ? quantile(0.5) : mean());
+    }
+};
+}  // namespace
+
+int64_t agglomerate_scored(const float* affs, const uint64_t* fragments,
+                           int64_t dz, int64_t dy, int64_t dx,
+                           double threshold, int32_t scoring, uint64_t* out);
+
 int64_t agglomerate_mean(const float* affs, const uint64_t* fragments,
                          int64_t dz, int64_t dy, int64_t dx,
                          double threshold, uint64_t* out) {
+    return agglomerate_scored(affs, fragments, dz, dy, dx, threshold, 0, out);
+}
+
+int64_t agglomerate_scored(const float* affs, const uint64_t* fragments,
+                           int64_t dz, int64_t dy, int64_t dx,
+                           double threshold, int32_t scoring, uint64_t* out) {
     const int64_t n = dz * dy * dx;
     // compact fragment ids
     std::unordered_map<uint64_t, uint32_t> idmap;
@@ -256,12 +302,9 @@ int64_t agglomerate_mean(const float* affs, const uint64_t* fragments,
         return id;
     };
 
-    struct Stat { double sum = 0; double cnt = 0; };
-    // adjacency: per node, map neighbor -> stat
-    std::vector<std::unordered_map<uint32_t, Stat>> adj;
+    std::vector<std::unordered_map<uint32_t, EdgeHist>> adj;
 
     const int64_t strides[3] = {dy * dx, dx, 1};
-    const int64_t ddims[3] = {dz, dy, dx};
     for (int64_t p = 0; p < n; ++p) {
         uint64_t fp = fragments[p];
         if (!fp) continue;
@@ -280,8 +323,8 @@ int64_t agglomerate_mean(const float* affs, const uint64_t* fragments,
             uint32_t b = compact(fq);
             if (adj.size() <= b) adj.resize(b + 1);
             float av = affs[(size_t)d * n + p];
-            adj[a][b].sum += av; adj[a][b].cnt += 1;
-            adj[b][a].sum += av; adj[b][a].cnt += 1;
+            adj[a][b].add(av);
+            adj[b][a].add(av);
         }
     }
     size_t n_nodes = rev.size();
@@ -291,46 +334,39 @@ int64_t agglomerate_mean(const float* affs, const uint64_t* fragments,
     struct QE { double score; uint32_t a, b; };
     struct Cmp { bool operator()(const QE& x, const QE& y) const { return x.score > y.score; } };
     std::priority_queue<QE, std::vector<QE>, Cmp> pq;
-    auto score_of = [](const Stat& s) { return 1.0 - s.sum / s.cnt; };
     for (uint32_t a = 0; a < n_nodes; ++a)
         for (auto& kv : adj[a])
-            if (kv.first > a) pq.push({score_of(kv.second), a, kv.first});
+            if (kv.first > a) pq.push({kv.second.score(scoring), a, kv.first});
 
     while (!pq.empty()) {
         QE e = pq.top(); pq.pop();
         if (e.score >= threshold) break;
         uint32_t ra = uf.find(e.a), rb = uf.find(e.b);
         if (ra == rb) continue;
-        // stale check: current edge stat between ra, rb
         auto it = adj[ra].find(rb);
         if (it == adj[ra].end()) continue;
-        double cur = score_of(it->second);
+        double cur = it->second.score(scoring);
         if (cur > e.score + 1e-12) { pq.push({cur, ra, rb}); continue; }
 
-        // merge rb into ra (larger adjacency wins)
         if (adj[ra].size() < adj[rb].size()) std::swap(ra, rb);
         uint32_t keep = uf.merge(ra, rb);
-        if (keep != ra) { // UnionFind picked by rank; force data to follow 'keep'
+        if (keep != ra) {
             std::swap(ra, rb);
         }
-        // now move rb's edges into ra
         adj[ra].erase(rb);
         for (auto& kv : adj[rb]) {
             uint32_t c = kv.first;
             if (c == ra) continue;
             uint32_t rc = uf.find(c);
             if (rc == ra) continue;
-            // neighbor map of c: replace rb entry by ra (accumulate)
             auto ic = adj[rc].find(rb);
             if (ic != adj[rc].end()) {
-                Stat s = ic->second;
+                EdgeHist s2 = ic->second;
                 adj[rc].erase(ic);
-                auto& tgt = adj[rc][ra];
-                tgt.sum += s.sum; tgt.cnt += s.cnt;
+                adj[rc][ra].merge(s2);
             }
-            auto& mine = adj[ra][rc];
-            mine.sum += kv.second.sum; mine.cnt += kv.second.cnt;
-            pq.push({score_of(adj[ra][rc]), ra, rc});
+            adj[ra][rc].merge(kv.second);
+            pq.push({adj[ra][rc].score(scoring), ra, rc});
         }
         adj[rb].clear();
     }

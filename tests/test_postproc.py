@@ -158,3 +158,19 @@ def test_lifted_multicut_respects_lifted_repulsion():
         3, uv_l, c_l, np.array([[0, 2]], np.uint64), np.array([10.0]),
         local_search=False)
     assert len(np.unique(lifted2)) == 1
+
+
+def test_agglomerate_quantile_scoring():
+    """Median scoring ignores outlier boundary values the mean reacts to."""
+    frag = np.zeros((1, 8, 16), np.uint64)
+    frag[0, :, :8] = 1
+    frag[0, :, 8:] = 2
+    affs = np.ones((3, 1, 8, 16), np.float32)
+    # boundary column: most pairs low affinity, one high outlier
+    affs[2, 0, :, 8] = 0.1
+    affs[2, 0, 0, 8] = 1.0
+    # mean = (7*0.1 + 1)/8 = 0.2125 -> score 0.79; median ~0.1 -> score ~0.9
+    a_mean = agglomerate(affs, frag, threshold=0.85, scoring="mean")
+    a_q = agglomerate(affs, frag, threshold=0.85, scoring="quantile50")
+    assert len(np.unique(a_mean)) == 1   # mean merges under 0.85
+    assert len(np.unique(a_q)) == 2      # median keeps split
