@@ -71,7 +71,14 @@ def main():
     else:
         from pixel_embedded_affinity_tpu.infer import run_inference_2d
 
-        _, valid = build_dataset(cfg)
+        if cfg.name == "bbbc039v1" and args.mode == "test":
+            from pixel_embedded_affinity_tpu.data.bbbc import BBBCValidation
+
+            valid = BBBCValidation(cfg.data.data_folder,
+                                   shifts=tuple(cfg.data.shifts),
+                                   neighbor=cfg.data.neighbor, mode="test")
+        else:
+            _, valid = build_dataset(cfg)
         per_image, agg = run_inference_2d(cfg, variables, valid,
                                           out_dir=args.out,
                                           save_h5=args.out is not None)

@@ -12,4 +12,9 @@ from .emb2aff import (
     normalize_embedding,
     embedding_to_affinity_2d,
     embedding_to_affinity_3d,
+    cross_affinity_2d,
+)
+from .affinity_jax import (
+    gen_affs_jax, weight_binary_ratio_jax, label_pyramid_jax,
+    build_targets_2d_jax,
 )
