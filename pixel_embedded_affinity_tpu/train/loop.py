@@ -118,6 +118,13 @@ class ScalarLogger:
         if self.tb is not None:
             for k, v in scalars.items():
                 self.tb.add_scalar(k, v, step)
+        # reference-style plain-text appenders (loss.txt / valid.txt,
+        # scripts_cvppp/main.py:171-172)
+        is_valid = any(k.startswith("valid") for k in scalars)
+        fname = "valid.txt" if is_valid else "loss.txt"
+        with open(os.path.join(os.path.dirname(self.f.name), fname), "a") as f:
+            parts = ", ".join(f"{k} = {v:.6f}" for k, v in scalars.items())
+            f.write(f"step = {step}, {parts}\n")
 
 
 def init_state(cfg: Config, model, tx, sample_batch):
