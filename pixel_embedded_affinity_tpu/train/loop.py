@@ -162,6 +162,11 @@ def validate_2d(cfg: Config, eval_step, state, valid_dataset, offsets,
         batch = {k: v[None] for k, v in s.items()}
         loss, pred, embedding, pred_mask = eval_step(state.params,
                                                      state.batch_stats, batch)
+        if cfg.train.mask_weight:  # reference valid loss includes the mask term
+            from ..ops.losses import mask_head_loss
+
+            loss = float(loss) + cfg.train.mask_weight * float(
+                mask_head_loss(pred_mask, batch["seg"] > 0))
         out_affs = np.asarray(pred)[0]
         gt = s["seg"].astype(np.uint16)
         if cfg.train.mask_weight:  # bbbc: predicted FG mask seeds the decode
