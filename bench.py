@@ -4,15 +4,25 @@ Flagship config (BASELINE config 1): CVPPP-scale 544x544 RGB through
 ResUNet2D-deep + fused Pallas embedding->affinity (10 offsets).
 
 Baseline for `vs_baseline`: the reference-faithful computation graph — the
-same model with the reference's per-offset roll+multiply+reduce affinity
-chain (scripts_cvppp/loss/loss_embedding_mse.py:58-66 semantics, circular
-roll) — compiled by XLA on the SAME chip. This isolates the framework-level
-win (fused kernel + layout) from hardware differences.
+same model in f32 (the reference runs f32 torch, scripts_cvppp README env)
+with the reference's per-offset roll+multiply+reduce affinity chain
+(scripts_cvppp/loss/loss_embedding_mse.py:58-66 semantics) — compiled by XLA
+on the SAME chip. A same-dtype (bf16) reference-style graph is also timed and
+reported on stderr so the framework-level win is separable from the dtype win.
+
+Timing methodology: on this environment block_until_ready does NOT
+synchronize (the axon tunnel acks dispatch, not completion), so wall-clock
+loops over async dispatches measure host throughput. We therefore scan N
+forwards inside ONE jit (with a per-iteration input perturbation so XLA
+cannot hoist the computation) and fetch a scalar reduction, which forces a
+real device round-trip; time = total / N.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import functools
 import json
+import sys
 import time
 
 import numpy as np
@@ -24,45 +34,57 @@ def main():
 
     from pixel_embedded_affinity_tpu.models import ResidualUNet2DDeep
     from pixel_embedded_affinity_tpu.ops import multi_offset
-    from pixel_embedded_affinity_tpu.ops.emb2aff import normalize_embedding
+    from pixel_embedded_affinity_tpu.ops.emb2aff import (
+        embedding_to_affinity_2d, normalize_embedding)
     from pixel_embedded_affinity_tpu.ops.emb2aff_pallas import fused_affinity_2d
 
     on_tpu = jax.devices()[0].platform == "tpu"
     B, H, W = 4, 544, 544
-    # ours: bf16 compute (production TPU config) + fused Pallas affinity
-    model = ResidualUNet2DDeep(out_channels=2,
-                               nfeatures=(16, 32, 64, 128, 256), emd=16,
-                               dtype=jnp.bfloat16 if on_tpu else jnp.float32)
-    # baseline: the reference-faithful graph — f32 model + per-offset rolls
-    model_ref = ResidualUNet2DDeep(out_channels=2,
-                                   nfeatures=(16, 32, 64, 128, 256), emd=16)
+    N = 20  # forwards per timed program
     rng = jax.random.PRNGKey(0)
     x = jnp.asarray(np.random.default_rng(0).normal(
         size=(B, H, W, 3)).astype(np.float32))
-    import functools
-
-    # jit the init: on the tunneled TPU backend each *eager* op would
-    # trigger its own remote compile, which takes tens of minutes
-    init_fn = jax.jit(functools.partial(model.init, train=False))
-    variables = jax.block_until_ready(init_fn(rng, x[:1]))
-    print("# init done", file=__import__("sys").stderr, flush=True)
     offsets = tuple(map(tuple, multi_offset([1, 3, 5, 9, 27], neighbor=4)))
 
-    @jax.jit
-    def ours(image):
-        _, _, _, _, emb, _ = model.apply(variables, image, train=False)
-        emb = emb.astype(jnp.float32)
+    def build(dtype):
+        model = ResidualUNet2DDeep(out_channels=2,
+                                   nfeatures=(16, 32, 64, 128, 256), emd=16,
+                                   dtype=dtype)
+        # jit the init: eager ops on the tunneled TPU trigger per-op
+        # remote compiles
+        variables = jax.jit(functools.partial(model.init, train=False))(
+            rng, x[:1])
+        return model, variables
+
+    def timeit(model, variables, aff_fn):
+        @jax.jit
+        def run(x, eps):
+            def body(c, e):
+                _, _, _, _, emb, _ = model.apply(variables, x + e,
+                                                 train=False)
+                affs = aff_fn(emb.astype(jnp.float32))
+                return c + affs.astype(jnp.float32).sum(), None
+            s, _ = jax.lax.scan(body, jnp.float32(0), eps)
+            return s
+
+        eps = jnp.zeros((N,), x.dtype)
+        float(run(x, eps))  # compile + warm
+        print("# compiled", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            float(run(x, eps))
+        return (time.perf_counter() - t0) / (reps * N)
+
+    def fused(emb):
         if on_tpu:
             return jax.nn.relu(fused_affinity_2d(emb, offsets, 32, False))
-        from pixel_embedded_affinity_tpu.ops import embedding_to_affinity_2d
+        return jax.nn.relu(embedding_to_affinity_2d(emb, offsets,
+                                                    padding="valid"))
 
-        return jax.nn.relu(embedding_to_affinity_2d(emb, offsets))
-
-    @jax.jit
-    def reference_style(image):
+    def ref_style(emb):
         # reference embedding2affs: normalize then per-offset circular roll +
         # channel-dot, one full pass per offset
-        _, _, _, _, emb, _ = model_ref.apply(variables, image, train=False)
         n = normalize_embedding(emb, axis=-1)
         chans = []
         for oy, ox in offsets:
@@ -70,25 +92,27 @@ def main():
             chans.append(jnp.sum(n * shifted, axis=-1))
         return jax.nn.relu(jnp.stack(chans, axis=1))
 
-    def timeit(fn, iters=30):
-        fn(x).block_until_ready()
-        print("# compiled", file=__import__("sys").stderr, flush=True)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(x)
-        out.block_until_ready()
-        return (time.perf_counter() - t0) / iters
+    fast_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    model_fast, vars_fast = build(fast_dtype)
+    model_f32, vars_f32 = build(jnp.float32)
 
-    dt_ours = timeit(ours)
-    dt_ref = timeit(reference_style)
+    dt_ours = timeit(model_fast, vars_fast, fused)
+    dt_ref_f32 = timeit(model_f32, vars_f32, ref_style)
+    dt_ref_same = timeit(model_fast, vars_fast, ref_style)
+
     mp = B * H * W / 1e6
     value = mp / dt_ours
-    baseline = mp / dt_ref
+    base_f32 = mp / dt_ref_f32
+    base_same = mp / dt_ref_same
+    print(f"# ours {dt_ours*1e3:.2f} ms | ref-graph f32 {dt_ref_f32*1e3:.2f}"
+          f" ms ({value/base_f32:.2f}x) | ref-graph same-dtype"
+          f" {dt_ref_same*1e3:.2f} ms ({value/base_same:.2f}x)",
+          file=sys.stderr, flush=True)
     print(json.dumps({
         "metric": "megapixels/sec/chip emb2aff inference (ResUNet2D 544x544)",
         "value": round(value, 2),
         "unit": "MP/s/chip",
-        "vs_baseline": round(value / baseline, 3),
+        "vs_baseline": round(value / base_f32, 3),
     }))
 
 

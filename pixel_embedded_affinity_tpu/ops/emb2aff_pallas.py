@@ -17,9 +17,15 @@ Design:
   fall out of zero padding: the wrapper pads TOP rows with `halo` zero rows
   and right/bottom up to tile multiples; zero embeddings normalize to zero
   vectors, so dots against the pad are exactly 0.
-* Backward pass: custom_vjp whose bwd re-derives the gradient through the
-  pure-jnp oracle (guaranteed consistent); a hand-written bwd kernel is a
-  later optimization.
+* Backward pass: hand-written fused bwd kernel (one pass over g + embedding
+  per tile, all K offsets). For affinity a_k(p) = <n(p), n(p+o_k)> the
+  embedding gradient is
+      dn(p) = sum_k [ g_k(p) * n(p+o_k) + g_k(p-o_k) * n(p-o_k) ]
+      de    = (dn - n * <n, dn>) / max(||e||, eps)
+  The kernel reads prev/cur/next row-tiles of n (term 1 looks up, term 2
+  looks down) and cur/next row-tiles of g, and emits de directly. Verified
+  for exact parity against jax.vjp through the jnp oracle
+  (tests/test_emb2aff_pallas.py).
 """
 
 from __future__ import annotations
@@ -137,12 +143,129 @@ def _fused_affinity_2d_fwd(embedding_bhwc, offsets, tile_h, interpret):
     return out, embedding_bhwc
 
 
+# -- fused backward kernel helpers -------------------------------------------
+
+def _rows_up(cur, prev, sy):
+    """value at row r is src[r - sy]; first sy rows come from the prev tile."""
+    if sy == 0:
+        return cur
+    th = cur.shape[-2]
+    return jnp.concatenate([prev[..., th - sy:, :], cur[..., : th - sy, :]],
+                           axis=-2)
+
+
+def _rows_down(cur, nxt, sy):
+    """value at row r is src[r + sy]; last sy rows come from the next tile."""
+    if sy == 0:
+        return cur
+    return jnp.concatenate([cur[..., sy:, :], nxt[..., :sy, :]], axis=-2)
+
+
+def _cols(x, s):
+    """value at col c is src[c - s]; zero fill (valid-padding semantics)."""
+    if s == 0:
+        return x
+    w = x.shape[-1]
+    z = jnp.zeros(x.shape[:-1] + (abs(s),), x.dtype)
+    if s > 0:
+        return jnp.concatenate([z, x[..., : w - s]], axis=-1)
+    return jnp.concatenate([x[..., -s:], z], axis=-1)
+
+
+def _normalize_vjp(e, n, dn, eps=1e-12):
+    """VJP of n = e / max(sqrt(sum(e^2) + 1e-36), eps) over axis 0 —
+    bit-matches jax.vjp through normalize_embedding (the >= eps branch
+    carries the maximum's subgradient exactly like jnp.maximum)."""
+    norm = jnp.sqrt(jnp.sum(e * e, axis=0, keepdims=True) + 1e-36)
+    m = jnp.maximum(norm, eps)
+    ndot = jnp.sum(n * dn, axis=0, keepdims=True)
+    proj = jnp.where(norm >= eps, ndot, jnp.zeros_like(ndot))
+    return (dn - n * proj) / m
+
+
+def _affinity_bwd_kernel(offsets, normalized,
+                         e_prev_ref, e_cur_ref, e_next_ref,
+                         g_cur_ref, g_next_ref, out_ref):
+    """One pass emitting the embedding gradient for all K offsets.
+
+    dn(p) = sum_k [ g_k(p) * n(p+o_k) + g_k(p-o_k) * n(p-o_k) ];
+    with ``normalized`` the inputs are already unit vectors and dn is
+    emitted raw (the caller applies the normalization VJP); otherwise the
+    kernel normalizes in-tile and emits de directly.
+    """
+    e_cur = e_cur_ref[0]
+    if normalized:
+        n_prev, n_cur, n_next = e_prev_ref[0], e_cur, e_next_ref[0]
+    else:
+        n_prev = _normalize(e_prev_ref[0])
+        n_cur = _normalize(e_cur)
+        n_next = _normalize(e_next_ref[0])
+    g_cur = g_cur_ref[0]
+    g_next = g_next_ref[0]
+    dn = jnp.zeros_like(n_cur)
+    for k, (oy, ox) in enumerate(offsets):
+        sy = -oy
+        # term 1: g_k(p) * n(p + o_k)   (neighbor up/left)
+        nb = _cols(_rows_up(n_cur, n_prev, sy), -ox)
+        dn = dn + g_cur[k][None] * nb
+        # term 2: g_k(p - o_k) * n(p - o_k)   (down/right)
+        gd = _cols(_rows_down(g_cur[k], g_next[k], sy), ox)
+        nd = _cols(_rows_down(n_cur, n_next, sy), ox)
+        dn = dn + gd[None] * nd
+    if normalized:
+        out_ref[0] = dn
+    else:
+        out_ref[0] = _normalize_vjp(e_cur, n_cur, dn)
+
+
+def _fused_affinity_2d_bwd_impl(e_bhwc, g_bkhw, offsets, normalized,
+                                tile_h, interpret):
+    b, h, w, c = e_bhwc.shape
+    k = len(offsets)
+    max_sy = max(-int(o[0]) for o in offsets)
+    assert tile_h >= max_sy >= 0
+    e = jnp.transpose(e_bhwc, (0, 3, 1, 2))
+    h_aligned = _round_up(h, tile_h)
+    w_pad = _round_up(max(w, 128), 128) - w
+    # one full halo tile above AND below (term 1 looks up, term 2 down)
+    pads = ((0, 0), (0, 0), (tile_h, h_aligned - h + tile_h), (0, w_pad))
+    e = jnp.pad(e, pads)
+    g = jnp.pad(g_bkhw.astype(e.dtype), pads[:2] + pads[2:])
+    hp, wp = e.shape[2], e.shape[3]
+    n_tiles = h_aligned // tile_h
+
+    kern = functools.partial(_affinity_bwd_kernel,
+                             tuple(map(tuple, offsets)), normalized)
+    vm = pltpu.VMEM
+    out = pl.pallas_call(
+        kern,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, c, tile_h, wp), lambda bi, i: (bi, 0, i, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, c, tile_h, wp), lambda bi, i: (bi, 0, i + 1, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, c, tile_h, wp), lambda bi, i: (bi, 0, i + 2, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, k, tile_h, wp), lambda bi, i: (bi, 0, i + 1, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, k, tile_h, wp), lambda bi, i: (bi, 0, i + 2, 0),
+                         memory_space=vm),
+        ],
+        out_specs=pl.BlockSpec((1, c, tile_h, wp),
+                               lambda bi, i: (bi, 0, i + 1, 0),
+                               memory_space=vm),
+        out_shape=jax.ShapeDtypeStruct((b, c, hp, wp), e.dtype),
+        interpret=interpret,
+    )(e, e, e, g, g)
+    de = out[:, :, tile_h:tile_h + h, :w]
+    return jnp.transpose(de, (0, 2, 3, 1))
+
+
 def _fused_affinity_2d_bwd(offsets, tile_h, interpret, residual, g):
-    embedding_bhwc = residual
-    _, vjp = jax.vjp(
-        lambda e: embedding_to_affinity_2d(e, offsets, padding="valid"),
-        embedding_bhwc)
-    return (vjp(g)[0],)
+    return (_fused_affinity_2d_bwd_impl(residual, g,
+                                        tuple(map(tuple, offsets)), False,
+                                        tile_h, interpret),)
 
 
 fused_affinity_2d.defvjp(_fused_affinity_2d_fwd, _fused_affinity_2d_bwd)

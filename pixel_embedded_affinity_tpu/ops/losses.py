@@ -147,7 +147,11 @@ def ema_embedding_loss_2d(embedding_bhwc: jnp.ndarray,
     """Cross-view loss: student embedding dotted with offset-shifted teacher.
 
     First two offsets are scaled by affs0_weight (reference parity).
-    Gradients flow into both views (reference shares weights between views).
+    The caller is expected to pass a stop-gradient'ed (detached) teacher
+    embedding: the reference detaches the un-flipped EMA view
+    (scripts_cvppp/data/data_consistency.py:36 gt.detach().clone()), so
+    gradients flow only through the student branch. train_step.py applies
+    jax.lax.stop_gradient before calling this.
     """
     if use_pallas:
         from .emb2aff_pallas import fused_cross_affinity_2d

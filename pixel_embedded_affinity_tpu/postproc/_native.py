@@ -1,12 +1,15 @@
 """ctypes loader for the native post-processing library.
 
-Compiles csrc/pea_postproc.cpp with g++ on first use (cached by source mtime);
-`make -C csrc` also works. No external native deps.
+Compiles csrc/pea_postproc.cpp with g++ on first use. The build output is
+named by the sha256 of the source, so a stale or foreign binary can never be
+loaded (mtime comparisons are unreliable on fresh clones). Binaries are
+never committed (.gitignore covers csrc/*.so).
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -15,16 +18,23 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "csrc", "pea_postproc.cpp")
-_SO = os.path.join(_HERE, "csrc", "libpea_postproc.so")
 
 _lock = threading.Lock()
 _lib = None
 
 
-def _build():
+def _so_path() -> str:
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_HERE, "csrc", f"libpea_postproc-{h}.so")
+
+
+def _build(so: str):
+    tmp = so + f".tmp{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _SO]
+           _SRC, "-o", tmp]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, so)
 
 
 def get_lib() -> ctypes.CDLL:
@@ -32,10 +42,10 @@ def get_lib() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            _build()
-        lib = ctypes.CDLL(_SO)
+        so = _so_path()
+        if not os.path.exists(so):
+            _build(so)
+        lib = ctypes.CDLL(so)
 
         i32 = ctypes.c_int32
         i64 = ctypes.c_int64
@@ -62,7 +72,7 @@ def get_lib() -> ctypes.CDLL:
 
         lib.agglomerate_scored.restype = i64
         lib.agglomerate_scored.argtypes = [f32p, u64p, i64, i64, i64,
-                                           ctypes.c_double, i32, u64p]
+                                           ctypes.c_double, i32, i32, u64p]
 
         lib.rag_mean_affinity.restype = i64
         lib.rag_mean_affinity.argtypes = [u64p, f32p, i64, i64, i64,

@@ -14,23 +14,34 @@ from ._native import get_lib
 from .watershed import watershed_from_affs
 
 
+SCORING_MODES = {"mean": 0, "quantile50": 1, "median": 1, "quantile25": 2,
+                 "quantile75": 3, "quantile15": 4, "quantile85": 5,
+                 "max": 6, "min": 7}
+
+
 def agglomerate(affs: np.ndarray, fragments: np.ndarray,
                 threshold: float = 0.5,
-                scoring: str = "mean") -> np.ndarray:
+                scoring: str = "mean",
+                discretize_queue: int = 256) -> np.ndarray:
     """affs (3, D, H, W) float; fragments (D, H, W) uint64 -> merged labels.
 
-    scoring 'mean' = waterz OneMinus<MeanAffinity> (the reference default);
-    'quantile50' = OneMinus<HistogramQuantileAffinity<50, 256>> (the
-    commented alternative sf in scripts_ac3ac4/inference.py:216).
+    scoring 'mean' = waterz OneMinus<EdgeStatisticValue<MeanAffinity...>>
+    (the reference default, scripts_ac3ac4/inference.py:211-224); the
+    quantile/max/min variants mirror waterz's HistogramQuantileProvider
+    scoring family (256-bin histograms).
+    discretize_queue=256 reproduces the reference's waterz.agglomerate(...,
+    discretize_queue=256) merge ordering (256 score levels, FIFO within a
+    level); 0 uses an exact priority queue.
     """
     lib = get_lib()
     affs = np.ascontiguousarray(affs, dtype=np.float32)
     fragments = np.ascontiguousarray(fragments, dtype=np.uint64)
     d, h, w = fragments.shape
     out = np.zeros(fragments.size, dtype=np.uint64)
-    mode = {"mean": 0, "quantile50": 1}[scoring]
+    mode = SCORING_MODES[scoring]
     lib.agglomerate_scored(affs.reshape(3, -1), fragments.reshape(-1),
-                           d, h, w, float(threshold), mode, out)
+                           d, h, w, float(threshold), mode,
+                           int(discretize_queue), out)
     return out.reshape(d, h, w)
 
 

@@ -50,6 +50,232 @@ inline void unravel(int64_t p, const int64_t* dims, int ndim, int64_t* coord) {
     for (int d = ndim - 1; d >= 0; --d) { coord[d] = p % dims[d]; p /= dims[d]; }
 }
 
+// ---------------------------------------------------------------------------
+// Partition local search shared by the multicut solvers. Convention:
+// positive cost = attraction; the objective being maximized is the total
+// cost of within-component edges (equivalently: minimize the cut).
+// ---------------------------------------------------------------------------
+using AdjD = std::vector<std::unordered_map<uint32_t, double>>;
+
+// greedy single-node moves (cheap pre-pass before Kernighan-Lin)
+void greedy_node_moves(const AdjD& nadj, std::vector<uint32_t>& comp,
+                       int max_iters) {
+    const int64_t n = (int64_t)comp.size();
+    bool changed = true;
+    int iters = 0;
+    while (changed && iters < max_iters) {
+        changed = false;
+        ++iters;
+        for (int64_t v = 0; v < n; ++v) {
+            std::unordered_map<uint32_t, double> gain;
+            double stay = 0;
+            for (auto& kv : nadj[v]) {
+                if (comp[kv.first] == comp[v]) stay += kv.second;
+                else gain[comp[kv.first]] += kv.second;
+            }
+            uint32_t best = comp[v];
+            double best_gain = 0;
+            for (auto& kv : gain) {
+                double g = kv.second - stay;
+                if (g > best_gain) { best_gain = g; best = kv.first; }
+            }
+            if (best != comp[v]) { comp[v] = best; changed = true; }
+        }
+    }
+}
+
+// One Kernighan-Lin two-set update (Keuper et al. 2015, as used by
+// nifty/elf multicut_kernighan_lin): greedily build a sequence of
+// highest-gain node switches between sets A and B, allowing negative
+// intermediate gains, then commit the best prefix. Joining A and B
+// entirely is reachable as the full prefix; with B empty this attempts a
+// split of A into a new set. Mutates comp and the A/B member lists.
+// Returns the total objective gain (>= 0).
+double kl_bipartition(const AdjD& nadj, std::vector<uint32_t>& comp,
+                      uint32_t la, uint32_t lb,
+                      std::vector<uint32_t>& A, std::vector<uint32_t>& B,
+                      int max_pass) {
+    if (A.empty() || (B.empty() && A.size() < 2)) return 0.0;
+    // working set U: boundary nodes plus their same-pair neighbors (interior
+    // nodes can only usefully move after the boundary has moved; later
+    // passes reach them as the boundary advances)
+    std::vector<uint32_t> U;
+    std::unordered_map<uint32_t, int> idx;
+    auto add = [&](uint32_t v) {
+        if (idx.emplace(v, (int)U.size()).second) U.push_back(v);
+    };
+    if (B.empty()) {
+        if (A.size() > 4096) return 0.0;  // split attempt on a huge set
+        for (uint32_t v : A) add(v);
+    } else {
+        for (uint32_t v : A)
+            for (auto& kv : nadj[v])
+                if (comp[kv.first] == lb) { add(v); break; }
+        for (uint32_t v : B)
+            for (auto& kv : nadj[v])
+                if (comp[kv.first] == la) { add(v); break; }
+        size_t n_boundary = U.size();
+        for (size_t i = 0; i < n_boundary; ++i)
+            for (auto& kv : nadj[U[i]]) {
+                uint32_t u = kv.first;
+                if (comp[u] == la || comp[u] == lb) add(u);
+            }
+    }
+    if (U.size() < 2) return 0.0;
+
+    std::vector<char> side(U.size());
+    for (size_t i = 0; i < U.size(); ++i) side[i] = (comp[U[i]] == lb);
+    std::vector<double> g(U.size());
+    std::vector<char> moved(U.size());
+    std::vector<int> seq;
+    std::vector<double> cum;
+    double total = 0.0;
+    for (int pass = 0; pass < max_pass; ++pass) {
+        // initial gain of switching each node's side. Edges to other
+        // components are cut either way; edges to non-U members of A/B
+        // count with that member frozen on its side.
+        for (size_t i = 0; i < U.size(); ++i) {
+            double gi = 0;
+            char si = side[i];
+            for (auto& kv : nadj[U[i]]) {
+                uint32_t u = kv.first;
+                char su;
+                auto it = idx.find(u);
+                if (it != idx.end()) su = side[it->second];
+                else if (comp[u] == la) su = 0;
+                else if (comp[u] == lb) su = 1;
+                else continue;
+                gi += (su != si) ? kv.second : -kv.second;
+            }
+            g[i] = gi;
+        }
+        std::fill(moved.begin(), moved.end(), 0);
+        seq.clear();
+        cum.clear();
+        double run = 0.0;
+        for (size_t step = 0; step < U.size(); ++step) {
+            int best = -1;
+            double bg = 0;
+            for (size_t i = 0; i < U.size(); ++i)
+                if (!moved[i] && (best < 0 || g[i] > bg)) {
+                    bg = g[i];
+                    best = (int)i;
+                }
+            if (best < 0) break;
+            moved[best] = 1;
+            run += g[best];
+            side[best] ^= 1;
+            seq.push_back(best);
+            cum.push_back(run);
+            for (auto& kv : nadj[U[best]]) {
+                auto it = idx.find(kv.first);
+                if (it == idx.end() || moved[it->second]) continue;
+                g[it->second] += (side[it->second] == side[best])
+                                     ? -2.0 * kv.second : 2.0 * kv.second;
+            }
+        }
+        int bestk = -1;
+        double bestv = 1e-9;
+        for (size_t k = 0; k < cum.size(); ++k)
+            if (cum[k] > bestv) { bestv = cum[k]; bestk = (int)k; }
+        for (int k = (int)seq.size() - 1; k > bestk; --k) side[seq[k]] ^= 1;
+        if (bestk < 0) break;
+        total += bestv;
+    }
+    if (total > 0) {
+        for (size_t i = 0; i < U.size(); ++i)
+            comp[U[i]] = side[i] ? lb : la;
+        std::vector<uint32_t> newA, newB;
+        for (uint32_t v : A) (comp[v] == lb ? newB : newA).push_back(v);
+        for (uint32_t v : B) (comp[v] == lb ? newB : newA).push_back(v);
+        A.swap(newA);
+        B.swap(newB);
+    }
+    return total;
+}
+
+// Kernighan-Lin refinement over the whole partition: repeated two-set
+// updates over adjacent component pairs + split attempts, until no pass
+// improves the objective. `pair_adj` is the graph used to enumerate
+// adjacent pairs (local edges only in the lifted case, so merges keep
+// components locally connected); `nadj` carries the full objective
+// (local + lifted costs).
+void kernighan_lin(const AdjD& nadj, const AdjD& pair_adj,
+                   std::vector<uint32_t>& comp, int max_outer) {
+    const int64_t n = (int64_t)comp.size();
+    uint32_t next_label = 0;
+    for (int64_t v = 0; v < n; ++v)
+        next_label = std::max(next_label, comp[v] + 1);
+    for (int outer = 0; outer < max_outer; ++outer) {
+        std::unordered_map<uint32_t, std::vector<uint32_t>> groups;
+        for (int64_t v = 0; v < n; ++v) groups[comp[v]].push_back((uint32_t)v);
+        std::unordered_set<uint64_t> pairs;
+        for (int64_t v = 0; v < n; ++v)
+            for (auto& kv : pair_adj[v]) {
+                uint32_t ca = comp[v], cb = comp[kv.first];
+                if (ca == cb) continue;
+                pairs.insert(ca < cb ? ((uint64_t)ca << 32) | cb
+                                     : ((uint64_t)cb << 32) | ca);
+            }
+        double gained = 0.0;
+        for (uint64_t key : pairs) {
+            uint32_t ca = (uint32_t)(key >> 32), cb = (uint32_t)key;
+            auto ia = groups.find(ca);
+            auto ib = groups.find(cb);
+            if (ia == groups.end() || ib == groups.end()) continue;
+            gained += kl_bipartition(nadj, comp, ca, cb, ia->second,
+                                     ib->second, 3);
+        }
+        std::vector<uint32_t> keys;
+        keys.reserve(groups.size());
+        for (auto& kv : groups) keys.push_back(kv.first);
+        for (uint32_t ca : keys) {
+            auto ia = groups.find(ca);
+            if (ia == groups.end() || ia->second.size() < 2) continue;
+            std::vector<uint32_t> empty;
+            double gsp = kl_bipartition(nadj, comp, ca, next_label,
+                                        ia->second, empty, 3);
+            if (gsp > 0 && !empty.empty()) {
+                gained += gsp;
+                groups.emplace(next_label, std::move(empty));
+                ++next_label;
+            }
+        }
+        if (gained < 1e-9) break;
+    }
+}
+
+// build a node->adjacent-cost map from an edge list
+AdjD build_adj(int64_t n_nodes, int64_t n_edges, const uint64_t* uv,
+               const double* costs) {
+    AdjD adj((size_t)n_nodes);
+    for (int64_t i = 0; i < n_edges; ++i) {
+        uint32_t a = (uint32_t)uv[2 * i], b = (uint32_t)uv[2 * i + 1];
+        if (a == b) continue;
+        adj[a][b] += costs[i];
+        adj[b][a] += costs[i];
+    }
+    return adj;
+}
+
+// consecutive relabel of comp into node_labels; returns #components
+int64_t write_component_labels(const std::vector<uint32_t>& comp,
+                               uint64_t* node_labels) {
+    std::unordered_map<uint32_t, uint64_t> remap;
+    uint64_t next = 0;
+    for (size_t v = 0; v < comp.size(); ++v) {
+        auto it = remap.find(comp[v]);
+        if (it == remap.end()) {
+            remap[comp[v]] = next;
+            node_labels[v] = next;
+            ++next;
+        } else {
+            node_labels[v] = it->second;
+        }
+    }
+    return (int64_t)next;
+}
+
 }  // namespace
 
 extern "C" {
@@ -238,25 +464,39 @@ void seeded_watershed_2d(const float* cost, const int32_t* seeds,
 // pairs while score < threshold, lowest score first. fragments uint64
 // (label 0 = ignore). affs: (3, D, H, W), channel d = affinity to -1 along
 // axis d. Writes merged labels to out; returns #segments.
-// scoring: 0 = OneMinus<MeanAffinity> (waterz default sf), 1 =
-// OneMinus<QuantileAffinity<50, 256 bins>> (discretized median, the
-// commented-out alternative sf in scripts_ac3ac4/inference.py:216).
+// scoring (waterz scoring-function family; the reference default is
+// OneMinus<EdgeStatisticValue<MeanAffinityProvider>>,
+// scripts_ac3ac4/inference.py:211-224): 0 = 1-mean, 1 = 1-quantile50
+// (histogram median), 2 = 1-quantile25, 3 = 1-quantile75, 4 = 1-quantile15,
+// 5 = 1-quantile85, 6 = 1-max, 7 = 1-min. Quantiles use 256-bin histograms
+// like waterz's HistogramQuantileProvider.
+// discretize: 0 = exact priority queue; N>0 = N-level discretized bucket
+// queue with FIFO order within a bucket — waterz's discretize_queue=256
+// merge-order semantics (an edge popped from its bucket is re-scored; if
+// its current bucket differs it is re-queued, ties in a bucket merge in
+// insertion order).
 // ---------------------------------------------------------------------------
 namespace {
 struct EdgeHist {
     double sum = 0;
     double cnt = 0;
+    float max_a = -1e30f;
+    float min_a = 1e30f;
     std::array<uint32_t, 256> bins{};
 
     void add(float a) {
         sum += a;
         cnt += 1;
+        max_a = std::max(max_a, a);
+        min_a = std::min(min_a, a);
         int b = (int)(a * 255.0f + 0.5f);
         bins[std::min(std::max(b, 0), 255)] += 1;
     }
     void merge(const EdgeHist& o) {
         sum += o.sum;
         cnt += o.cnt;
+        max_a = std::max(max_a, o.max_a);
+        min_a = std::min(min_a, o.min_a);
         for (int i = 0; i < 256; ++i) bins[i] += o.bins[i];
     }
     double mean() const { return sum / cnt; }
@@ -270,24 +510,36 @@ struct EdgeHist {
         return 1.0;
     }
     double score(int scoring) const {
-        return 1.0 - (scoring == 1 ? quantile(0.5) : mean());
+        switch (scoring) {
+            case 1: return 1.0 - quantile(0.5);
+            case 2: return 1.0 - quantile(0.25);
+            case 3: return 1.0 - quantile(0.75);
+            case 4: return 1.0 - quantile(0.15);
+            case 5: return 1.0 - quantile(0.85);
+            case 6: return 1.0 - (double)max_a;
+            case 7: return 1.0 - (double)min_a;
+            default: return 1.0 - mean();
+        }
     }
 };
 }  // namespace
 
 int64_t agglomerate_scored(const float* affs, const uint64_t* fragments,
                            int64_t dz, int64_t dy, int64_t dx,
-                           double threshold, int32_t scoring, uint64_t* out);
+                           double threshold, int32_t scoring,
+                           int32_t discretize, uint64_t* out);
 
 int64_t agglomerate_mean(const float* affs, const uint64_t* fragments,
                          int64_t dz, int64_t dy, int64_t dx,
                          double threshold, uint64_t* out) {
-    return agglomerate_scored(affs, fragments, dz, dy, dx, threshold, 0, out);
+    return agglomerate_scored(affs, fragments, dz, dy, dx, threshold, 0, 0,
+                              out);
 }
 
 int64_t agglomerate_scored(const float* affs, const uint64_t* fragments,
                            int64_t dz, int64_t dy, int64_t dx,
-                           double threshold, int32_t scoring, uint64_t* out) {
+                           double threshold, int32_t scoring,
+                           int32_t discretize, uint64_t* out) {
     const int64_t n = dz * dy * dx;
     // compact fragment ids
     std::unordered_map<uint64_t, uint32_t> idmap;
@@ -331,28 +583,13 @@ int64_t agglomerate_scored(const float* affs, const uint64_t* fragments,
     adj.resize(n_nodes);
 
     UnionFind uf(n_nodes);
-    struct QE { double score; uint32_t a, b; };
-    struct Cmp { bool operator()(const QE& x, const QE& y) const { return x.score > y.score; } };
-    std::priority_queue<QE, std::vector<QE>, Cmp> pq;
-    for (uint32_t a = 0; a < n_nodes; ++a)
-        for (auto& kv : adj[a])
-            if (kv.first > a) pq.push({kv.second.score(scoring), a, kv.first});
 
-    while (!pq.empty()) {
-        QE e = pq.top(); pq.pop();
-        if (e.score >= threshold) break;
-        uint32_t ra = uf.find(e.a), rb = uf.find(e.b);
-        if (ra == rb) continue;
-        auto it = adj[ra].find(rb);
-        if (it == adj[ra].end()) continue;
-        double cur = it->second.score(scoring);
-        if (cur > e.score + 1e-12) { pq.push({cur, ra, rb}); continue; }
-
+    // contract rb into ra (after root-order normalization); requeue(u, v, s)
+    // re-inserts the merged neighbor edge with its new score
+    auto contract = [&](uint32_t ra, uint32_t rb, auto&& requeue) {
         if (adj[ra].size() < adj[rb].size()) std::swap(ra, rb);
         uint32_t keep = uf.merge(ra, rb);
-        if (keep != ra) {
-            std::swap(ra, rb);
-        }
+        if (keep != ra) std::swap(ra, rb);
         adj[ra].erase(rb);
         for (auto& kv : adj[rb]) {
             uint32_t c = kv.first;
@@ -366,9 +603,72 @@ int64_t agglomerate_scored(const float* affs, const uint64_t* fragments,
                 adj[rc][ra].merge(s2);
             }
             adj[ra][rc].merge(kv.second);
-            pq.push({adj[ra][rc].score(scoring), ra, rc});
+            requeue(ra, rc, adj[ra][rc].score(scoring));
         }
         adj[rb].clear();
+    };
+
+    if (discretize > 0) {
+        // waterz discretize_queue semantics: N score levels, FIFO per level
+        const int NB = discretize;
+        auto binof = [&](double s) {
+            int b = (int)(s * (NB - 1) + 0.5);
+            return std::min(std::max(b, 0), NB - 1);
+        };
+        struct BE { uint32_t a, b; };
+        std::vector<std::vector<BE>> buckets((size_t)NB);
+        std::vector<size_t> head((size_t)NB, 0);
+        auto push = [&](uint32_t a, uint32_t b, double s, int at_least) {
+            buckets[std::max(binof(s), at_least)].push_back({a, b});
+        };
+        for (uint32_t a = 0; a < n_nodes; ++a)
+            for (auto& kv : adj[a])
+                if (kv.first > a)
+                    push(a, kv.first, kv.second.score(scoring), 0);
+        for (int lvl = 0; lvl < NB; ++lvl) {
+            while (head[lvl] < buckets[lvl].size()) {
+                BE e = buckets[lvl][head[lvl]++];
+                uint32_t ra = uf.find(e.a), rb = uf.find(e.b);
+                if (ra == rb) continue;
+                auto it = adj[ra].find(rb);
+                if (it == adj[ra].end()) continue;
+                double cur = it->second.score(scoring);
+                if (cur >= threshold) continue;
+                int cb = binof(cur);
+                if (cb > lvl) {  // re-binned upward: re-queue
+                    buckets[cb].push_back({ra, rb});
+                    continue;
+                }
+                contract(ra, rb, [&](uint32_t u, uint32_t v, double s) {
+                    push(u, v, s, lvl);
+                });
+            }
+            buckets[lvl].clear();
+            if ((double)lvl / (NB - 1) >= threshold) break;
+        }
+    } else {
+        struct QE { double score; uint32_t a, b; };
+        struct Cmp { bool operator()(const QE& x, const QE& y) const {
+            return x.score > y.score; } };
+        std::priority_queue<QE, std::vector<QE>, Cmp> pq;
+        for (uint32_t a = 0; a < n_nodes; ++a)
+            for (auto& kv : adj[a])
+                if (kv.first > a)
+                    pq.push({kv.second.score(scoring), a, kv.first});
+
+        while (!pq.empty()) {
+            QE e = pq.top(); pq.pop();
+            if (e.score >= threshold) break;
+            uint32_t ra = uf.find(e.a), rb = uf.find(e.b);
+            if (ra == rb) continue;
+            auto it = adj[ra].find(rb);
+            if (it == adj[ra].end()) continue;
+            double cur = it->second.score(scoring);
+            if (cur > e.score + 1e-12) { pq.push({cur, ra, rb}); continue; }
+            contract(ra, rb, [&](uint32_t u, uint32_t v, double s) {
+                pq.push({s, u, v});
+            });
+        }
     }
 
     // write out merged labels (relabel consecutively, keep 0)
@@ -442,8 +742,11 @@ int64_t rag_mean_affinity(const uint64_t* fragments, const float* affs,
 }
 
 // ---------------------------------------------------------------------------
-// Multicut via greedy additive edge contraction (GAEC), optional greedy
-// single-node local search. Positive cost = attraction.
+// Multicut via greedy additive edge contraction (GAEC) + local search.
+// Positive cost = attraction.
+// do_local_search: 0 = GAEC only; 1 = + greedy single-node moves;
+// 2 = + Kernighan-Lin refinement (the reference's default decode runs
+// elf/nifty multicut_kernighan_lin, scripts_ac3ac4/utils/lmc.py:17-22).
 // nodes are 0..n_nodes-1; node_labels out: component ids (consecutive).
 // ---------------------------------------------------------------------------
 int64_t gaec_multicut(int64_t n_nodes, int64_t n_edges,
@@ -494,59 +797,14 @@ int64_t gaec_multicut(int64_t n_nodes, int64_t n_edges,
         adj[rb].clear();
     }
 
+    std::vector<uint32_t> comp((size_t)n_nodes);
+    for (int64_t v = 0; v < n_nodes; ++v) comp[v] = uf.find((uint32_t)v);
     if (do_local_search) {
-        // greedy single-node moves: move a node to a neighboring component if
-        // it improves the multicut objective; a light Kernighan-Lin pass.
-        std::vector<std::unordered_map<uint32_t, double>> nadj((size_t)n_nodes);
-        for (int64_t i = 0; i < n_edges; ++i) {
-            uint32_t a = (uint32_t)uv[2 * i], b = (uint32_t)uv[2 * i + 1];
-            if (a == b) continue;
-            nadj[a][b] += costs[i];
-            nadj[b][a] += costs[i];
-        }
-        std::vector<uint32_t> comp((size_t)n_nodes);
-        for (int64_t v = 0; v < n_nodes; ++v) comp[v] = uf.find((uint32_t)v);
-        bool changed = true;
-        int iters = 0;
-        while (changed && iters < 3) {
-            changed = false;
-            ++iters;
-            for (int64_t v = 0; v < n_nodes; ++v) {
-                // gain of moving v from comp[v] to candidate component
-                std::unordered_map<uint32_t, double> gain;
-                double stay = 0;
-                for (auto& kv : nadj[v]) {
-                    if (comp[kv.first] == comp[v]) stay += kv.second;
-                    else gain[comp[kv.first]] += kv.second;
-                }
-                uint32_t best = comp[v];
-                double best_gain = 0;
-                for (auto& kv : gain) {
-                    double g = kv.second - stay;
-                    if (g > best_gain) { best_gain = g; best = kv.first; }
-                }
-                if (best != comp[v]) { comp[v] = best; changed = true; }
-            }
-        }
-        std::unordered_map<uint32_t, uint64_t> remap;
-        uint64_t next = 0;
-        for (int64_t v = 0; v < n_nodes; ++v) {
-            auto it = remap.find(comp[v]);
-            if (it == remap.end()) { remap[comp[v]] = next; node_labels[v] = next; ++next; }
-            else node_labels[v] = it->second;
-        }
-        return (int64_t)next;
+        AdjD nadj = build_adj(n_nodes, n_edges, uv, costs);
+        greedy_node_moves(nadj, comp, 3);
+        if (do_local_search >= 2) kernighan_lin(nadj, nadj, comp, 10);
     }
-
-    std::unordered_map<uint32_t, uint64_t> remap;
-    uint64_t next = 0;
-    for (int64_t v = 0; v < n_nodes; ++v) {
-        uint32_t r = uf.find((uint32_t)v);
-        auto it = remap.find(r);
-        if (it == remap.end()) { remap[r] = next; node_labels[v] = next; ++next; }
-        else node_labels[v] = it->second;
-    }
-    return (int64_t)next;
+    return write_component_labels(comp, node_labels);
 }
 
 // ---------------------------------------------------------------------------
@@ -639,62 +897,27 @@ int64_t lifted_gaec_multicut(int64_t n_nodes,
         lifted[rb].clear();
     }
 
+    std::vector<uint32_t> comp((size_t)n_nodes);
+    for (int64_t v = 0; v < n_nodes; ++v) comp[v] = uf.find((uint32_t)v);
     if (do_local_search) {
-        std::vector<std::unordered_map<uint32_t, double>> nadj((size_t)n_nodes);
-        for (int64_t i = 0; i < n_local; ++i) {
-            uint32_t a = (uint32_t)uv_local[2 * i], b = (uint32_t)uv_local[2 * i + 1];
-            if (a == b) continue;
-            nadj[a][b] += costs_local[i];
-            nadj[b][a] += costs_local[i];
-        }
+        // combined objective graph (local + lifted)
+        AdjD nadj = build_adj(n_nodes, n_local, uv_local, costs_local);
         for (int64_t i = 0; i < n_lifted; ++i) {
-            uint32_t a = (uint32_t)uv_lifted[2 * i], b = (uint32_t)uv_lifted[2 * i + 1];
+            uint32_t a = (uint32_t)uv_lifted[2 * i];
+            uint32_t b = (uint32_t)uv_lifted[2 * i + 1];
             if (a == b) continue;
             nadj[a][b] += costs_lifted[i];
             nadj[b][a] += costs_lifted[i];
         }
-        std::vector<uint32_t> comp((size_t)n_nodes);
-        for (int64_t v = 0; v < n_nodes; ++v) comp[v] = uf.find((uint32_t)v);
-        bool changed = true;
-        int iters = 0;
-        while (changed && iters < 3) {
-            changed = false;
-            ++iters;
-            for (int64_t v = 0; v < n_nodes; ++v) {
-                std::unordered_map<uint32_t, double> gain;
-                double stay = 0;
-                for (auto& kv : nadj[v]) {
-                    if (comp[kv.first] == comp[v]) stay += kv.second;
-                    else gain[comp[kv.first]] += kv.second;
-                }
-                uint32_t best = comp[v];
-                double best_gain = 0;
-                for (auto& kv : gain) {
-                    double g = kv.second - stay;
-                    if (g > best_gain) { best_gain = g; best = kv.first; }
-                }
-                if (best != comp[v]) { comp[v] = best; changed = true; }
-            }
+        greedy_node_moves(nadj, comp, 3);
+        if (do_local_search >= 2) {
+            // pair enumeration over LOCAL edges only, so two-set joins keep
+            // components locally connected (lifted feasibility)
+            AdjD ladj = build_adj(n_nodes, n_local, uv_local, costs_local);
+            kernighan_lin(nadj, ladj, comp, 10);
         }
-        std::unordered_map<uint32_t, uint64_t> remap;
-        uint64_t next = 0;
-        for (int64_t v = 0; v < n_nodes; ++v) {
-            auto it2 = remap.find(comp[v]);
-            if (it2 == remap.end()) { remap[comp[v]] = next; node_labels[v] = next; ++next; }
-            else node_labels[v] = it2->second;
-        }
-        return (int64_t)next;
     }
-
-    std::unordered_map<uint32_t, uint64_t> remap;
-    uint64_t next = 0;
-    for (int64_t v = 0; v < n_nodes; ++v) {
-        uint32_t r = uf.find((uint32_t)v);
-        auto it2 = remap.find(r);
-        if (it2 == remap.end()) { remap[r] = next; node_labels[v] = next; ++next; }
-        else node_labels[v] = it2->second;
-    }
-    return (int64_t)next;
+    return write_component_labels(comp, node_labels);
 }
 
 // ---------------------------------------------------------------------------

@@ -20,6 +20,11 @@ from scipy import ndimage
 
 def merge_small_object(seg: np.ndarray, threshold: int = 5,
                        window: int = 5) -> np.ndarray:
+    """Bit-parity port of scripts_cvppp/utils/postprocessing.py:8-33,
+    including the reference's raw-slice quirk: a centroid within window//2
+    of the top/left border yields a negative slice start, which numpy
+    resolves as a wrapped (usually empty) crop — so the merge is silently
+    skipped there, exactly as in the reference."""
     uid, uc = np.unique(seg, return_counts=True)
     for ids, size in zip(uid, uc):
         if size > threshold:
@@ -29,7 +34,7 @@ def merge_small_object(seg: np.ndarray, threshold: int = 5,
             continue
         pos_x = int(pos[0].sum() // pos[0].size) - window // 2
         pos_y = int(pos[1].sum() // pos[1].size) - window // 2
-        crop = seg[max(pos_x, 0):pos_x + window, max(pos_y, 0):pos_y + window]
+        crop = seg[pos_x:pos_x + window, pos_y:pos_y + window]
         t_uid, t_uc = np.unique(crop, return_counts=True)
         rank = np.argsort(-t_uc)
         if len(t_uc) > 2:

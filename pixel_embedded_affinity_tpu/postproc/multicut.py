@@ -3,8 +3,9 @@
 ``mc_baseline`` mirrors scripts_ac3ac4/utils/lmc.py:6-24: per-slice distance
 transform watershed fragments on boundary = max(1-affs_y, 1-affs_x), RAG with
 mean-affinity edge probabilities, log-odds costs weighted by edge size, then
-multicut via greedy additive edge contraction + greedy node-move local search
-(in place of Kernighan-Lin).
+multicut via greedy additive edge contraction + greedy node moves +
+Kernighan-Lin refinement (the reference's multicut_kernighan_lin solver,
+scripts_ac3ac4/utils/lmc.py:17-22).
 """
 
 from __future__ import annotations
@@ -47,7 +48,11 @@ def rag_mean_affinity(fragments: np.ndarray, affs: np.ndarray):
 
 
 def multicut_gaec(n_nodes: int, uv: np.ndarray, costs: np.ndarray,
-                  local_search: bool = True) -> np.ndarray:
+                  local_search: int = 2) -> np.ndarray:
+    """GAEC multicut + local search. local_search: 0 = GAEC only,
+    1 = + greedy single-node moves, 2 (default) = + Kernighan-Lin
+    refinement, matching the reference's elf multicut_kernighan_lin
+    (scripts_ac3ac4/utils/lmc.py:17-22)."""
     lib = get_lib()
     uv = np.ascontiguousarray(uv.reshape(-1, 2), dtype=np.uint64)
     costs = np.ascontiguousarray(costs, dtype=np.float64)
@@ -60,9 +65,10 @@ def multicut_gaec(n_nodes: int, uv: np.ndarray, costs: np.ndarray,
 def lifted_multicut_gaec(n_nodes: int, uv_local: np.ndarray,
                          costs_local: np.ndarray, uv_lifted: np.ndarray,
                          costs_lifted: np.ndarray,
-                         local_search: bool = True) -> np.ndarray:
+                         local_search: int = 2) -> np.ndarray:
     """True lifted multicut: lifted edges weigh the objective but only
-    locally adjacent pairs contract (GAEC + greedy node moves)."""
+    locally adjacent pairs contract (GAEC), then greedy node moves and
+    lifted-aware Kernighan-Lin refinement (local_search=2, default)."""
     lib = get_lib()
     uv_local = np.ascontiguousarray(uv_local.reshape(-1, 2), np.uint64)
     uv_lifted = np.ascontiguousarray(uv_lifted.reshape(-1, 2), np.uint64)

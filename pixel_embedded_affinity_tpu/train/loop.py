@@ -252,11 +252,15 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
                         num_workers=cfg.train.num_workers,
                         seed=cfg.train.random_seed)
 
-    schedule = make_schedule(
-        "poly" if cfg.train.lr_mode == "cosine" else cfg.train.lr_mode,
-        cfg.train.base_lr, cfg.train.end_lr, cfg.train.total_iters,
-        cfg.train.warmup_iters, cfg.train.decay_iters, cfg.train.power) \
-        if cfg.train.lr_mode != "fixed" else None
+    # 'cosine' in the reference as-shipped runs at constant base_lr (the
+    # cosine branch is commented out, scripts_cvppp/main.py:247-257)
+    if cfg.train.lr_mode in ("fixed", "cosine"):
+        schedule = None
+    else:
+        schedule = make_schedule(
+            cfg.train.lr_mode,
+            cfg.train.base_lr, cfg.train.end_lr, cfg.train.total_iters,
+            cfg.train.warmup_iters, cfg.train.decay_iters, cfg.train.power)
     tx = make_optimizer(cfg.train.base_lr, eps=0.01,
                         weight_decay=cfg.train.weight_decay or 0.0,
                         amsgrad=True, opt_type=cfg.train.opt_type,
@@ -269,9 +273,21 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
     if cfg.train.resume:
         ck = latest_checkpoint(save_path)
         if ck:
+            import flax.serialization as ser
+
             restored = load_checkpoint(ck)
+            opt_state = state.opt_state
+            if "opt_state" in restored:
+                # exact resume: rebuild the optax pytree (Adam moments,
+                # schedule count) from the checkpointed state dict
+                try:
+                    opt_state = ser.from_state_dict(state.opt_state,
+                                                    restored["opt_state"])
+                except Exception as e:  # incompatible optimizer config
+                    log.warning("checkpoint opt_state incompatible (%s); "
+                                "falling back to fresh optimizer state", e)
             state = TrainState(restored["params"], restored["batch_stats"],
-                               state.opt_state, restored["step"])
+                               opt_state, restored["step"])
             log.info("resumed from %s", ck)
 
     criterion = L.CRITERIA[cfg.train.loss_func]
@@ -304,20 +320,46 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
 
     logger = ScalarLogger(log_dir or os.path.join(save_path, "log"))
     from ..utils.guards import LossWatchdog
+    from ..data.provider import device_prefetch
 
     watchdog = LossWatchdog(save_dir=save_path)
     history = []
     sum_loss = 0.0
     t_start = time.time()
     it = int(state.step)
-    batch = batch0
+
+    # double-buffered host->device prefetch: the next batch's transfer
+    # overlaps the current step's compute (the reference's async
+    # DataLoader+.cuda() equivalent, scripts_cvppp/main.py:227-238)
+    def _batches():
+        yield batch0
+        while True:
+            yield provider.next()
+
+    batch_iter = device_prefetch(_batches(), sharding=bsh)
+
+    # losses are fetched lazily (at display/valid points) so the host never
+    # blocks on the device per step; `pending` holds tiny device scalars
+    pending: list = []
+
+    def _drain():
+        nonlocal sum_loss
+        if not pending:
+            return
+        first_step = it - len(pending) + 1
+        for j, v in enumerate(jax.device_get(pending)):
+            lv = float(v)
+            watchdog.check(lv, state=None, step=first_step + j)
+            sum_loss += lv
+        pending.clear()
+
     while it < total_iters:
         it += 1
+        batch = next(batch_iter)
         state, pred, metrics = jit_step(state, batch)
-        loss_val = float(metrics["loss"])
-        watchdog.check(loss_val, state=None, step=it)
-        sum_loss += loss_val
+        pending.append(metrics["loss"])
         if it % cfg.train.display_freq == 0 or it == 1:
+            _drain()
             dt = time.time() - t_start
             avg = sum_loss / (cfg.train.display_freq if it > 1 else 1)
             log.info("step %d, loss=%.6f (%.2f s)", it, avg, dt)
@@ -325,6 +367,7 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
             sum_loss = 0.0
         if cfg.train.if_valid and valid_ds is not None \
                 and (it % cfg.train.valid_freq == 0):
+            _drain()
             if is_3d:
                 cz, cy, cx = cfg.data.crop_size
                 # reference geometry: stride = (cz-8, cy/2, cx/2),
@@ -345,8 +388,8 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
                 logger.add(it, **m)
                 history.append({"step": it, **m})
         if it % cfg.train.save_freq == 0 or it == total_iters:
+            _drain()
             save_checkpoint(save_path, state, it)
-        if it < total_iters:
-            batch = provider.next()
+    _drain()
     provider.close()
     return state, history

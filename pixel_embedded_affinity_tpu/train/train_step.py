@@ -74,8 +74,11 @@ def make_train_step_2d(model, tx, offsets, *, neighbor=4,
         (_, _, _, _, ema_embedding, _), mut = apply_fn(
             params, mut["batch_stats"], batch["ema_image"])
 
-        ema_embedding = convert_consistency_flip_jax(ema_embedding,
-                                                     batch["rules"])
+        # the reference detaches the un-flipped EMA view (gt.detach().clone()
+        # in scripts_cvppp/data/data_consistency.py:36), so the cross loss
+        # and the ct term only backprop through the student branch
+        ema_embedding = jax.lax.stop_gradient(
+            convert_consistency_flip_jax(ema_embedding, batch["rules"]))
 
         # deep supervision: model outputs e1(1/16)..e4(1/2) pair with
         # down4..down1 (reference emd1<->down1 at 1/2 scale)
@@ -175,8 +178,11 @@ def make_train_step_3d(model, tx, *, criterion=L.weighted_mse,
         (_, _, _, _, ema_embedding), mut = apply_fn(
             params, mut["batch_stats"], batch["ema_image"])
 
-        ema_embedding = convert_consistency_flip_jax_3d_rule4(
-            ema_embedding, batch["rules"])
+        # detached teacher view, matching the reference's gt.detach().clone()
+        # (scripts_ac3ac4/utils/consistency_aug.py:219)
+        ema_embedding = jax.lax.stop_gradient(
+            convert_consistency_flip_jax_3d_rule4(
+                ema_embedding, batch["rules"]))
 
         if embedding_mode == 5:
             loss_emb, pred = L.embedding_loss_norm5(
