@@ -1,0 +1,221 @@
+"""Optimized inference forward for ResidualUNet2DDeep (exact math).
+
+Builds a pure function from trained `variables` that reproduces
+ResidualUNet2DDeep.apply(..., train=False)'s (embedding, mask) outputs with:
+
+* the high-resolution small-channel stages computed in SPACE-TO-DEPTH form
+  (ops/s2d.py): a 544^2 x C16 conv becomes a 272^2 x C64 conv, which XLA
+  runs 2-3x faster (C16 tensors are lane-padded 8x; C>=64 shapes run near
+  the MXU geometry bound). The reformulation is exact — see s2d.py.
+* inference BatchNorm folded to per-channel scale/shift applied in the
+  conv epilogue (XLA fuses the affine+ReLU into one elementwise pass),
+* 2x2 maxpool of an s2d stage as a parity-group max (no relayout of the
+  full-res tensor),
+* align-corners bilinear upsampling emitted DIRECTLY in s2d form via
+  per-parity interpolation-matrix matmuls (the full-res tensor never
+  materializes in pixel layout).
+
+Numerics match the Flax module to dtype tolerance
+(tests/test_fast_forward.py). Mirrors the reference forward
+scripts_cvppp/model/unet2d_residual.py:279-353.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.s2d import space_to_depth, depth_to_space, s2d_conv_weights
+from .common import upsample_align_corners, replication_pad_to
+
+_conv = functools.partial(jax.lax.conv_general_dilated, window_strides=(1, 1),
+                          padding="SAME",
+                          dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _fold_bn(bn_params, bn_stats, conv_bias=None, eps=1e-5):
+    scale = bn_params["scale"] / jnp.sqrt(bn_stats["var"] + eps)
+    shift = bn_params["bias"] - bn_stats["mean"] * scale
+    if conv_bias is not None:
+        shift = shift + conv_bias * scale
+    return scale.astype(jnp.float32), shift.astype(jnp.float32)
+
+
+def _interp_matrix(n_out: int, n_in: int):
+    """Align-corners bilinear interpolation matrix (n_out, n_in)."""
+    import numpy as np
+
+    if n_in == 1:
+        return jnp.ones((n_out, 1), jnp.float32)
+    pos = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    lo = np.floor(pos).astype(int)
+    hi = np.minimum(lo + 1, n_in - 1)
+    frac = pos - lo
+    m = np.zeros((n_out, n_in), np.float32)
+    m[np.arange(n_out), lo] += 1 - frac
+    m[np.arange(n_out), hi] += frac
+    return jnp.asarray(m)
+
+
+def _upsample2x_to_s2d(y, dtype):
+    """(B, H, W, C) -> s2d view of the 2x align-corners upsample:
+    (B, H, W, 4C) with channel order (qy, qx, c). The (2H, 2W) tensor never
+    materializes: per-parity rows of the interpolation matrix are applied
+    as separate matmuls."""
+    b, h, w, c = y.shape
+    my = _interp_matrix(2 * h, h).astype(dtype)
+    mx = _interp_matrix(2 * w, w).astype(dtype)
+    parts = []
+    for qy in range(2):
+        a = jnp.einsum("oi,biwc->bowc", my[qy::2], y)
+        for qx in range(2):
+            parts.append(jnp.einsum("oj,bhjc->bhoc", mx[qx::2], a))
+    return jnp.concatenate(parts, axis=-1)
+
+
+class _BlockW:
+    """Folded weights of one ResidualBlock, in direct or s2d form."""
+
+    def __init__(self, p, s, dtype, s2d: bool):
+        self.s2d = s2d
+        self.w = {}
+        for conv_name, bn_name in (("conv1", "bn1"), ("conv2", "bn2"),
+                                   ("project_conv", "project_bn")):
+            w = p[conv_name]["kernel"]
+            scale, shift = _fold_bn(p[bn_name], s[bn_name],
+                                    p[conv_name].get("bias"))
+            if s2d:
+                w = s2d_conv_weights(w)
+                scale = jnp.tile(scale, 4)
+                shift = jnp.tile(shift, 4)
+            self.w[conv_name] = (w.astype(dtype), scale, shift)
+
+    def __call__(self, x):
+        w1, s1, h1 = self.w["conv1"]
+        y = jax.nn.relu(_conv(x, w1).astype(jnp.float32) * s1 + h1)
+        w2, s2, h2 = self.w["conv2"]
+        y = _conv(y.astype(x.dtype), w2).astype(jnp.float32) * s2 + h2
+        wp, sp, hp = self.w["project_conv"]
+        proj = _conv(x, wp).astype(jnp.float32) * sp + hp
+        return jax.nn.relu(y + proj).astype(x.dtype)
+
+
+def _pool_s2d_to_direct(x_s2d):
+    """maxpool 2x2 stride 2 of the underlying full-res tensor, from its s2d
+    form: the pool windows are exactly the parity groups."""
+    b, h, w, c4 = x_s2d.shape
+    c = c4 // 4
+    return jnp.max(x_s2d.reshape(b, h, w, 4, c), axis=3)
+
+
+def build_fast_resunet_forward(variables, *, dtype=jnp.bfloat16,
+                               with_mask: bool = True):
+    """Returns fn(image) -> (embedding, mask_logits) matching
+    ResidualUNet2DDeep.apply(variables, image, train=False)[4:6]."""
+    import flax.linen as nn
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def blk(scope, s2d):
+        return _BlockW(params[scope]["block"] if "block" in params[scope]
+                       else params[scope],
+                       stats[scope]["block"] if "block" in stats[scope]
+                       else stats[scope], dtype, s2d)
+
+    b_in = blk("inconv", s2d=True)
+    b_d1 = blk("down1", s2d=True)
+    b_d2 = blk("down2", s2d=True)
+    b_d3 = blk("down3", s2d=False)
+    b_d4 = blk("down4", s2d=False)
+    b_u1 = blk("up1", s2d=False)
+    b_u2 = blk("up2", s2d=False)
+    b_u3 = blk("up3", s2d=True)
+    b_u4 = blk("up4", s2d=True)
+
+    def conv1x1(x, scope, f32_out=True):
+        p = params[scope]
+        y = jax.lax.dot_general(x, p["kernel"][0, 0].astype(x.dtype),
+                                (((x.ndim - 1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if "bias" in p:
+            y = y + p["bias"].astype(jnp.float32)
+        return y if f32_out else y.astype(x.dtype)
+
+    mh_p = params.get("binary_seg")
+    mh_s = stats.get("binary_seg")
+    if mh_p is not None:
+        mh_scale, mh_shift = _fold_bn(mh_p["bn"], mh_s["bn"],
+                                      mh_p["conv1"].get("bias"))
+
+    def mask_head(y):
+        if not with_mask or mh_p is None:
+            return None
+        h1 = jax.lax.dot_general(y, mh_p["conv1"]["kernel"][0, 0]
+                                 .astype(y.dtype),
+                                 (((y.ndim - 1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        h1 = jax.nn.relu(h1 * mh_scale + mh_shift).astype(y.dtype)
+        out = jax.lax.dot_general(h1, mh_p["conv2"]["kernel"][0, 0]
+                                  .astype(y.dtype),
+                                  (((h1.ndim - 1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        return out + mh_p["conv2"]["bias"].astype(jnp.float32)
+
+    def conv1x1_s2d(x_s2d, scope):
+        """1x1 conv applied per parity group in s2d space."""
+        p = params[scope]
+        w = p["kernel"][0, 0].astype(dtype)  # (Cin, Cout)
+        cin, cout = w.shape
+        b_, hh, ww, _ = x_s2d.shape
+        xg = x_s2d.reshape(b_, hh, ww, 4, cin)
+        y = jnp.einsum("bhwqi,io->bhwqo", xg, w)
+        y = y.astype(jnp.float32)
+        if "bias" in p:
+            y = y + p["bias"].astype(jnp.float32)
+        return y.reshape(b_, hh, ww, 4 * cout)
+
+    def forward(image):
+        x = image.astype(dtype)
+        b, h0, w0, _ = x.shape
+        assert h0 % 16 == 0 and w0 % 16 == 0, \
+            "fast forward requires H, W divisible by 16"
+
+        xs = space_to_depth(x)               # 544 stage in s2d @272
+        x1s = b_in(xs)                       # 4x16
+        x2 = _pool_s2d_to_direct(b_d1(x1s))  # 272^2 x 32
+        x2s = space_to_depth(x2)             # 272 stage in s2d @136
+        x3 = _pool_s2d_to_direct(b_d2(x2s))  # 136^2 x 64
+        x4 = nn.max_pool(b_d3(x3), (2, 2), strides=(2, 2))   # 68^2 x 128
+        x5 = nn.max_pool(b_d4(x4), (2, 2), strides=(2, 2))   # 34^2 x 256
+
+        y = upsample_align_corners(x5, axes=(1, 2), factors=(2, 2))
+        y = b_u1(y)                          # 68^2 x 256
+
+        y = replication_pad_to(y, x4.shape[1], x4.shape[2])
+        y = jnp.concatenate([y, x4], axis=-1)
+        y = upsample_align_corners(y, axes=(1, 2), factors=(2, 2))
+        y = b_u2(y)                          # 136^2 x 128
+
+        y = replication_pad_to(y, x3.shape[1], x3.shape[2])
+        y = jnp.concatenate([y, x3], axis=-1)
+        ys = _upsample2x_to_s2d(y, dtype)    # s2d of 272^2 x 192
+        ys = b_u3(ys)                        # s2d of 272^2 x 64
+
+        # skip concat at 272^2 in s2d channel order (qy, qx, c): per-parity
+        # channel interleave of up3-out (64) and x2 (32)
+        y_d = depth_to_space(ys)
+        y_d = replication_pad_to(y_d, x2.shape[1], x2.shape[2])
+        y_d = jnp.concatenate([y_d, x2], axis=-1)
+        ys = _upsample2x_to_s2d(y_d, dtype)  # s2d of 544^2 x 96
+        ys = b_u4(ys)                        # s2d of 544^2 x 32
+
+        emb_s = conv1x1_s2d(ys, "outconv_emb")
+        embedding = depth_to_space(emb_s)
+        y_full = depth_to_space(ys)
+        mask = mask_head(y_full)
+        return embedding, mask
+
+    return forward

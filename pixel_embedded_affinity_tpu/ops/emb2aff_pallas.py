@@ -117,6 +117,8 @@ def _fused_affinity_2d_fwd_impl(embedding_bhwc: jnp.ndarray,
         out_specs=pl.BlockSpec((1, k, tile_h, wp), lambda bi, i: (bi, 0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, k, hp, wp), embedding_bhwc.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(e, e)
     return out[:, :, tile_h:tile_h + h, :w]
@@ -256,6 +258,8 @@ def _fused_affinity_2d_bwd_impl(e_bhwc, g_bkhw, offsets, normalized,
                                lambda bi, i: (bi, 0, i + 1, 0),
                                memory_space=vm),
         out_shape=jax.ShapeDtypeStruct((b, c, hp, wp), e.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(e, e, e, g, g)
     de = out[:, :, tile_h:tile_h + h, :w]
@@ -335,6 +339,8 @@ def _fused_cross_affinity_2d_impl(a_bhwc, b_bhwc, offsets, tile_h, interpret):
         out_specs=pl.BlockSpec((1, k, tile_h, wp), lambda bi, i: (bi, 0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, k, hp, wp), a_bhwc.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(at, bt, bt)
     return out[:, :, tile_h:tile_h + h, :w]
@@ -353,58 +359,177 @@ def _fused_cross_fwd(a, b, offsets, tile_h, interpret):
     return _fused_cross_affinity_2d_impl(a, b, offsets, tile_h, interpret), (a, b)
 
 
-def _fused_cross_bwd(offsets, tile_h, interpret, res, g):
-    from .emb2aff import cross_affinity_2d
+def _cross_bwd_kernel(offsets,
+                      a_cur_ref, a_next_ref, b_prev_ref, b_cur_ref,
+                      g_cur_ref, g_next_ref, da_ref, db_ref):
+    """Cross-affinity gradients for both views in one pass:
+    dna(p) = sum_k g_k(p) * nb(p+o_k);  dnb(p) = sum_k g_k(p-o_k) * na(p-o_k).
+    """
+    a_cur = a_cur_ref[0]
+    b_cur = b_cur_ref[0]
+    na_cur = _normalize(a_cur)
+    na_next = _normalize(a_next_ref[0])
+    nb_cur = _normalize(b_cur)
+    nb_prev = _normalize(b_prev_ref[0])
+    g_cur = g_cur_ref[0]
+    g_next = g_next_ref[0]
+    dna = jnp.zeros_like(na_cur)
+    dnb = jnp.zeros_like(nb_cur)
+    for k, (oy, ox) in enumerate(offsets):
+        sy = -oy
+        nb_sh = _cols(_rows_up(nb_cur, nb_prev, sy), -ox)
+        dna = dna + g_cur[k][None] * nb_sh
+        gd = _cols(_rows_down(g_cur[k], g_next[k], sy), ox)
+        na_d = _cols(_rows_down(na_cur, na_next, sy), ox)
+        dnb = dnb + gd[None] * na_d
+    da_ref[0] = _normalize_vjp(a_cur, na_cur, dna)
+    db_ref[0] = _normalize_vjp(b_cur, nb_cur, dnb)
 
+
+def _fused_cross_bwd_impl(a_bhwc, b_bhwc, g_bkhw, offsets, tile_h, interpret):
+    b, h, w, c = a_bhwc.shape
+    k = len(offsets)
+    max_sy = max(-int(o[0]) for o in offsets)
+    assert tile_h >= max_sy >= 0
+    at = jnp.transpose(a_bhwc, (0, 3, 1, 2))
+    bt = jnp.transpose(b_bhwc, (0, 3, 1, 2))
+    h_aligned = _round_up(h, tile_h)
+    w_pad = _round_up(max(w, 128), 128) - w
+    pads = ((0, 0), (0, 0), (tile_h, h_aligned - h + tile_h), (0, w_pad))
+    at = jnp.pad(at, pads)
+    bt = jnp.pad(bt, pads)
+    g = jnp.pad(g_bkhw.astype(at.dtype), pads)
+    hp, wp = at.shape[2], at.shape[3]
+    n_tiles = h_aligned // tile_h
+
+    kern = functools.partial(_cross_bwd_kernel, tuple(map(tuple, offsets)))
+    vm = pltpu.VMEM
+    da, db = pl.pallas_call(
+        kern,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, c, tile_h, wp), lambda bi, i: (bi, 0, i + 1, 0),
+                         memory_space=vm),   # a cur
+            pl.BlockSpec((1, c, tile_h, wp), lambda bi, i: (bi, 0, i + 2, 0),
+                         memory_space=vm),   # a next
+            pl.BlockSpec((1, c, tile_h, wp), lambda bi, i: (bi, 0, i, 0),
+                         memory_space=vm),   # b prev
+            pl.BlockSpec((1, c, tile_h, wp), lambda bi, i: (bi, 0, i + 1, 0),
+                         memory_space=vm),   # b cur
+            pl.BlockSpec((1, k, tile_h, wp), lambda bi, i: (bi, 0, i + 1, 0),
+                         memory_space=vm),   # g cur
+            pl.BlockSpec((1, k, tile_h, wp), lambda bi, i: (bi, 0, i + 2, 0),
+                         memory_space=vm),   # g next
+        ],
+        out_specs=(
+            pl.BlockSpec((1, c, tile_h, wp), lambda bi, i: (bi, 0, i + 1, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, c, tile_h, wp), lambda bi, i: (bi, 0, i + 1, 0),
+                         memory_space=vm),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, c, hp, wp), at.dtype),
+            jax.ShapeDtypeStruct((b, c, hp, wp), at.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(at, at, bt, bt, g, g)
+    da = jnp.transpose(da[:, :, tile_h:tile_h + h, :w], (0, 2, 3, 1))
+    db = jnp.transpose(db[:, :, tile_h:tile_h + h, :w], (0, 2, 3, 1))
+    return da, db
+
+
+def _fused_cross_bwd(offsets, tile_h, interpret, res, g):
     a, b = res
-    _, vjp = jax.vjp(lambda x, y: cross_affinity_2d(x, y, offsets), a, b)
-    return vjp(g)
+    return _fused_cross_bwd_impl(a, b, g, tuple(map(tuple, offsets)),
+                                 tile_h, interpret)
 
 
 fused_cross_affinity_2d.defvjp(_fused_cross_fwd, _fused_cross_bwd)
 
 
 # ---------------------------------------------------------------------------
-# 3D: xy channels reuse the 2D kernel over the (B*D) batch; z channels are a
-# cheap sliced dot handled by XLA fusion.
+# 3D: ONE kernel pass per (slab, row-tile) emits all K channels — the xy
+# shifts read the current slab (+ prev row-tile halo), the z shifts read the
+# z-s neighbor slabs directly (zero-padded at the volume front, so the
+# out-of-bounds slab is exactly 0). Replaces the r1 composite (2D kernel for
+# xy + XLA slicing for z) with a single fused pass: ~1.7x less HBM traffic
+# and no materialized normalized volume.
 # ---------------------------------------------------------------------------
 
+def _affinity_3d_kernel(xy_list, z_list, n_z_refs, *refs):
+    # refs: e_cur, e_prev_row, one per unique z shift, out
+    e_cur_ref, e_prev_ref = refs[0], refs[1]
+    z_refs = refs[2:2 + n_z_refs]
+    out_ref = refs[2 + n_z_refs]
+    cur = _normalize(e_cur_ref[0, :, 0])
+    prev = _normalize(e_prev_ref[0, :, 0])
+    for (oy, ox), oi in xy_list:
+        sy = -oy
+        shifted = _cols(_rows_up(cur, prev, sy), -ox)
+        out_ref[0, oi, 0] = jnp.sum(cur * shifted, axis=0)
+    for ri, oi in z_list:
+        nz = _normalize(z_refs[ri][0, :, 0])
+        out_ref[0, oi, 0] = jnp.sum(cur * nz, axis=0)
+
+
 def _fused_affinity_3d_impl(embedding_bdhwc, shifts, tile_h, interpret):
-    from .emb2aff import normalize_embedding
-
     b, d, h, w, c = embedding_bdhwc.shape
-    n = normalize_embedding(embedding_bdhwc, axis=-1)
-
-    # xy channels through the fused 2D kernel
-    xy_offsets = []
-    xy_idx = []
-    z_shifts = []
-    z_idx = []
+    xy_list, z_list, uniq = [], [], []
     for i, s in enumerate(shifts):
         ax = i % 3
         if ax == 0:
-            z_shifts.append(int(s))
-            z_idx.append(i)
+            s = int(s)
+            if s not in uniq:
+                uniq.append(s)
+            z_list.append((uniq.index(s), i))
         elif ax == 1:
-            xy_offsets.append((-int(s), 0))
-            xy_idx.append(i)
+            xy_list.append(((-int(s), 0), i))
         else:
-            xy_offsets.append((0, -int(s)))
-            xy_idx.append(i)
+            xy_list.append(((0, -int(s)), i))
+    max_sy = max((-o[0] for (o, _) in xy_list), default=0)
+    assert tile_h >= max_sy >= 0
+    max_sz = max(uniq) if uniq else 0
 
-    chans = [None] * len(shifts)
-    if xy_offsets:
-        flat = n.reshape(b * d, h, w, c)
-        affs_xy = _fused_affinity_2d_fwd_impl(flat, tuple(xy_offsets), True,
-                                              tile_h, interpret)
-        affs_xy = affs_xy.reshape(b, d, len(xy_offsets), h, w)
-        affs_xy = jnp.moveaxis(affs_xy, 2, 1)  # (B, Kxy, D, H, W)
-        for j, i in enumerate(xy_idx):
-            chans[i] = affs_xy[:, j]
-    for s, i in zip(z_shifts, z_idx):
-        a = jnp.sum(n[:, s:] * n[:, : d - s], axis=-1)
-        chans[i] = jnp.pad(a, ((0, 0), (s, 0), (0, 0), (0, 0)))
-    return jnp.stack(chans, axis=1)
+    e = jnp.transpose(embedding_bdhwc, (0, 4, 1, 2, 3))  # (B, C, D, H, W)
+    h_pad = tile_h + _round_up(h, tile_h) - h
+    w_pad = _round_up(max(w, 128), 128) - w
+    e = jnp.pad(e, ((0, 0), (0, 0), (max_sz, 0),
+                    (tile_h, h_pad - tile_h), (0, w_pad)))
+    hp, wp = e.shape[3], e.shape[4]
+    n_tiles = hp // tile_h
+    k = len(shifts)
+    vm = pltpu.VMEM
+
+    kern = functools.partial(_affinity_3d_kernel, tuple(xy_list),
+                             tuple(z_list), len(uniq))
+    blk = (1, c, 1, tile_h, wp)
+    in_specs = [
+        pl.BlockSpec(blk, lambda bi, zi, i, m=max_sz: (bi, 0, zi + m, i, 0),
+                     memory_space=vm),
+        pl.BlockSpec(blk, lambda bi, zi, i, m=max_sz:
+                     (bi, 0, zi + m, jnp.maximum(i - 1, 0), 0),
+                     memory_space=vm),
+    ]
+    for s in uniq:
+        in_specs.append(pl.BlockSpec(
+            blk, lambda bi, zi, i, s=s, m=max_sz: (bi, 0, zi + m - s, i, 0),
+            memory_space=vm))
+    out = pl.pallas_call(
+        kern,
+        grid=(b, d, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, k, 1, tile_h, wp),
+                               lambda bi, zi, i: (bi, 0, zi, i, 0),
+                               memory_space=vm),
+        out_shape=jax.ShapeDtypeStruct((b, k, d, hp, wp),
+                                       embedding_bdhwc.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*([e] * (2 + len(uniq))))
+    return out[:, :, :, tile_h:tile_h + h, :w]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
@@ -423,8 +548,42 @@ def _fused_affinity_3d_fwd(embedding_bdhwc, shifts, tile_h, interpret):
 
 
 def _fused_affinity_3d_bwd(shifts, tile_h, interpret, residual, g):
-    _, vjp = jax.vjp(lambda e: embedding_to_affinity_3d(e, shifts), residual)
-    return (vjp(g)[0],)
+    """Fused 3D backward: xy-channel gradients through the Pallas bwd kernel
+    (normalized=True -> emits dn), z-channel gradients as slab updates, then
+    one normalization VJP (exact oracle parity)."""
+    from .emb2aff import normalize_embedding
+
+    e = residual
+    b, d, h, w, c = e.shape
+    n, nvjp = jax.vjp(lambda x: normalize_embedding(x, axis=-1), e)
+
+    xy_offsets, xy_idx, z_shifts, z_idx = [], [], [], []
+    for i, s in enumerate(shifts):
+        ax = i % 3
+        if ax == 0:
+            z_shifts.append(int(s))
+            z_idx.append(i)
+        elif ax == 1:
+            xy_offsets.append((-int(s), 0))
+            xy_idx.append(i)
+        else:
+            xy_offsets.append((0, -int(s)))
+            xy_idx.append(i)
+
+    dn = jnp.zeros_like(n)
+    if xy_offsets:
+        # g[:, xy_idx]: (B, Kxy, D, H, W) -> (B*D, Kxy, H, W)
+        g_xy = jnp.moveaxis(g[:, jnp.asarray(xy_idx)], 1, 2)
+        g_xy = g_xy.reshape(b * d, len(xy_offsets), h, w)
+        dn_flat = _fused_affinity_2d_bwd_impl(
+            n.reshape(b * d, h, w, c), g_xy, tuple(xy_offsets), True,
+            tile_h, interpret)
+        dn = dn + dn_flat.reshape(b, d, h, w, c)
+    for s, i in zip(z_shifts, z_idx):
+        gi = g[:, i, s:, :, :, None]  # fwd zero-padded the first s slabs
+        dn = dn.at[:, s:].add(gi * n[:, : d - s])
+        dn = dn.at[:, : d - s].add(gi * n[:, s:])
+    return (nvjp(dn)[0],)
 
 
 fused_affinity_3d.defvjp(_fused_affinity_3d_fwd, _fused_affinity_3d_bwd)

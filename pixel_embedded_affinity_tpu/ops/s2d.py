@@ -1,0 +1,74 @@
+"""Space-to-depth conv reformulation (exact) for small-channel layers.
+
+XLA's TPU convs run near peak for C >= 128 but at 2.7-8% for C in {16, 32}
+(the channel minor dim is lane-padded to 128, wasting both bandwidth and
+MXU geometry). A stride-1 SAME 3x3 conv at (H, W, C) is EXACTLY equal to a
+3x3 conv at (H/2, W/2, 4C) on the space-to-depth layout with a
+structured-sparse (4C, 4C') kernel: output parity q=(qy,qx) at block (i,j)
+needs input rows 2i+qy-1..2i+qy+1, which span blocks i-1..i+1, so the
+block-space kernel stays 3x3 and entry
+    W'[by, bx, (py,px,ci), (qy,qx,co)] = w[dy+1, dx+1, ci, co]
+      where dy = 2*(by-1) + py - qy, dx = 2*(bx-1) + px - qx,
+      zero unless dy, dx in {-1, 0, 1}.
+The dense s2d conv does 4x the FLOPs (25% of W' is nonzero) but runs at
+C>=64 efficiency: measured 2-3x faster end-to-end for the C16/C32 layers
+(docs/PERF.md). Used by models/fast_forward.py for the high-resolution
+stage of ResidualUNet2DDeep (reference unet2d_residual.py:279-353).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel order (py, px, c)."""
+    b, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 4C) -> (B, 2H, 2W, C), inverse of space_to_depth."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def s2d_conv_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Cin, Cout) -> (3, 3, 4*Cin, 4*Cout) s2d-space kernel.
+
+    Traceable: assembled from slices of a zero-padded copy of w via a
+    constant gather, so it can sit inside a jit (weights-only, hoisted)."""
+    kh, kw, cin, cout = w.shape
+    assert kh == 3 and kw == 3
+
+    def tap(by, py, qy):
+        dy = 2 * (by - 1) + py - qy
+        return dy + 1 if -1 <= dy <= 1 else None
+
+    zero = jnp.zeros((cin, cout), w.dtype)
+    rows = []
+    for by in range(3):
+        cols = []
+        for bx in range(3):
+            # block (4Cin, 4Cout) for kernel position (by, bx)
+            prow = []
+            for py in range(2):
+                for px in range(2):
+                    qcol = []
+                    for qy in range(2):
+                        for qx in range(2):
+                            iy = tap(by, py, qy)
+                            ix = tap(bx, px, qx)
+                            qcol.append(zero if iy is None or ix is None
+                                        else w[iy, ix])
+                    prow.append(jnp.concatenate(qcol, axis=1))
+            cols.append(jnp.concatenate(prow, axis=0))
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)

@@ -104,3 +104,39 @@ def test_fused_cross_affinity_matches_oracle():
         cross_affinity_2d(x, y, offsets) ** 2), argnums=(0, 1))(a, b)
     for u, v in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=1e-4)
+
+
+def test_fused_2d_gradient_neighbor8_nondivisible():
+    """Backward kernel: diagonal offsets (positive ox -> term-2 right
+    shifts) + non-tile-divisible height + weighted upstream gradient."""
+    rng = np.random.default_rng(11)
+    emb = jnp.asarray(rng.normal(size=(2, 77, 70, 8)).astype(np.float32))
+    offsets = tuple(map(tuple, multi_offset([1, 3, 5], neighbor=8)))
+    wgt = jnp.asarray(rng.normal(size=(2, len(offsets), 77, 70))
+                      .astype(np.float32))
+
+    def loss_fused(e):
+        return jnp.sum(wgt * fused_affinity_2d(e, offsets, 32, INTERPRET))
+
+    def loss_oracle(e):
+        return jnp.sum(wgt * embedding_to_affinity_2d(e, offsets,
+                                                      padding="valid"))
+
+    g1 = jax.grad(loss_fused)(emb)
+    g2 = jax.grad(loss_oracle)(emb)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_fused_3d_gradient_full_shift_table():
+    """3D backward with the full 12-channel AC3/AC4 shift table (z shifts
+    1/2/3/4 + xy shifts up to 27)."""
+    rng = np.random.default_rng(12)
+    emb = jnp.asarray(rng.normal(size=(1, 6, 40, 36, 6)).astype(np.float32))
+    shifts = (1, 1, 1, 2, 3, 3, 3, 9, 9, 4, 27, 27)
+    wgt = jnp.asarray(rng.normal(size=(1, 12, 6, 40, 36)).astype(np.float32))
+
+    g1 = jax.grad(lambda e: jnp.sum(
+        wgt * fused_affinity_3d(e, shifts, 32, INTERPRET)))(emb)
+    g2 = jax.grad(lambda e: jnp.sum(
+        wgt * embedding_to_affinity_3d(e, shifts)))(emb)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)

@@ -161,3 +161,71 @@ def test_em_artifact_augmentations():
     assert imgs2.shape == imgs.shape
     # slices below the misalignment point are untouched
     assert (lab2[0] == lab[0]).all()
+
+
+def test_cutblur_cutnoise_regions():
+    """CutBlur/CutNoise modify only a cuboid region and preserve range."""
+    from pixel_embedded_affinity_tpu.data.augment2d import cutblur, cutnoise
+
+    rng = np.random.default_rng(0)
+    stack = rng.random((1, 64, 64)).astype(np.float32)
+    out = cutblur(stack, rng, length_ratio=0.25)
+    assert out.shape == stack.shape
+    changed = out != stack
+    assert 0 < changed.sum() <= int(0.25 * 64) ** 2  # only the cuboid
+    assert out.min() >= 0 and out.max() <= 1.0 + 1e-6
+
+    rng = np.random.default_rng(1)
+    stack3 = rng.random((8, 48, 48)).astype(np.float32)
+    out3 = cutnoise(stack3, rng, length_ratio=0.5, scale=0.2)
+    changed = out3 != stack3
+    assert 0 < changed.sum() <= (8 // 2 + 1) * 24 * 24
+    assert np.all(np.abs(out3 - stack3) <= 0.2 + 1e-6)
+    assert out3.min() >= 0 and out3.max() <= 1
+
+
+def test_mixup_batch_convexity():
+    from pixel_embedded_affinity_tpu.data.augment2d import mixup_batch
+
+    rng = np.random.default_rng(2)
+    batch = np.stack([np.full((4, 4), float(i)) for i in range(4)])
+    out = mixup_batch(batch, rng, num_aug=2)
+    n_changed = sum(not np.allclose(out[i], batch[i]) for i in range(4))
+    assert n_changed == 2
+    for i in range(4):
+        # each sample stays a convex combination of two originals
+        v = out[i].flat[0]
+        assert np.allclose(out[i], v)
+        lo, hi = batch.min(), batch.max()
+        assert lo <= v <= hi
+
+
+def test_motion_blur_applies_mean_kernel():
+    from pixel_embedded_affinity_tpu.data.augment2d import motion_blur
+
+    rng = np.random.default_rng(3)
+    stack = np.zeros((1, 32, 32), np.float32)
+    stack[0, 16, 16] = 1.0
+    out = motion_blur(stack, rng, sections=1, kernel_size=11)
+    # the impulse is spread along one axis into 11 values of 1/11
+    assert np.isclose(out.sum(), 1.0, atol=1e-5)
+    assert np.isclose(out.max(), 1 / 11, atol=1e-5)
+    assert (out > 0).sum() == 11
+
+
+def test_missing_parts_fills_band_with_mean():
+    from pixel_embedded_affinity_tpu.data.augment2d import missing_parts
+
+    rng = np.random.default_rng(4)
+    stack = rng.random((3, 50, 40)).astype(np.float32)  # non-square
+    out = missing_parts(stack, rng, iterations=5, p=1.0)
+    assert out.shape == stack.shape
+    # slice 0 must be augmented (p=1); its band equals the slice mean
+    changed = out[0] != stack[0]
+    assert changed.sum() > 0
+    band_vals = np.unique(np.round(out[0][changed], 5))
+    assert len(band_vals) == 1
+    assert np.isclose(band_vals[0], stack[0].mean(), atol=1e-4)
+    # at most one deformed slice in any 3 consecutive (i += 2 rule)
+    aug_idx = [i for i in range(3) if (out[i] != stack[i]).any()]
+    assert aug_idx == [0]
