@@ -76,30 +76,55 @@ def _upsample2x_to_s2d(y, dtype):
 
 
 class _BlockW:
-    """Folded weights of one ResidualBlock, in direct or s2d form."""
+    """Folded weights of one ResidualBlock, in direct or s2d form.
 
-    def __init__(self, p, s, dtype, s2d: bool):
+    ``split_at``: Cin index where the block input is a VIRTUAL concat of
+    two tensors (decoder skip): conv(concat(a, b), W) is computed as
+    conv(a, W[:, :, :split]) + conv(b, W[:, :, split:]) — the concat never
+    materializes and (in s2d form) the fat 4*(Ca+Cb)-channel conv becomes
+    two slimmer ones."""
+
+    def __init__(self, p, s, dtype, s2d: bool, split_at: int | None = None):
         self.s2d = s2d
+        self.split_at = split_at
         self.w = {}
+
+        def prep(w):
+            if s2d:
+                w = s2d_conv_weights(w)
+            return w.astype(dtype)
+
         for conv_name, bn_name in (("conv1", "bn1"), ("conv2", "bn2"),
                                    ("project_conv", "project_bn")):
             w = p[conv_name]["kernel"]
             scale, shift = _fold_bn(p[bn_name], s[bn_name],
                                     p[conv_name].get("bias"))
             if s2d:
-                w = s2d_conv_weights(w)
                 scale = jnp.tile(scale, 4)
                 shift = jnp.tile(shift, 4)
-            self.w[conv_name] = (w.astype(dtype), scale, shift)
+            if split_at is not None and conv_name != "conv2":
+                self.w[conv_name] = ((prep(w[:, :, :split_at]),
+                                      prep(w[:, :, split_at:])), scale, shift)
+            else:
+                self.w[conv_name] = (prep(w), scale, shift)
+
+    def _in_conv(self, x, w):
+        if self.split_at is not None:
+            a, b = x
+            wa, wb = w
+            return (_conv(a, wa).astype(jnp.float32)
+                    + _conv(b, wb).astype(jnp.float32))
+        return _conv(x, w).astype(jnp.float32)
 
     def __call__(self, x):
+        dt = (x[0] if self.split_at is not None else x).dtype
         w1, s1, h1 = self.w["conv1"]
-        y = jax.nn.relu(_conv(x, w1).astype(jnp.float32) * s1 + h1)
+        y = jax.nn.relu(self._in_conv(x, w1) * s1 + h1)
         w2, s2, h2 = self.w["conv2"]
-        y = _conv(y.astype(x.dtype), w2).astype(jnp.float32) * s2 + h2
+        y = _conv(y.astype(dt), w2).astype(jnp.float32) * s2 + h2
         wp, sp, hp = self.w["project_conv"]
-        proj = _conv(x, wp).astype(jnp.float32) * sp + hp
-        return jax.nn.relu(y + proj).astype(x.dtype)
+        proj = self._in_conv(x, wp) * sp + hp
+        return jax.nn.relu(y + proj).astype(dt)
 
 
 def _pool_s2d_to_direct(x_s2d):
@@ -119,11 +144,16 @@ def build_fast_resunet_forward(variables, *, dtype=jnp.bfloat16,
     params = variables["params"]
     stats = variables["batch_stats"]
 
-    def blk(scope, s2d):
+    def blk(scope, s2d, split_at=None):
         return _BlockW(params[scope]["block"] if "block" in params[scope]
                        else params[scope],
                        stats[scope]["block"] if "block" in stats[scope]
-                       else stats[scope], dtype, s2d)
+                       else stats[scope], dtype, s2d, split_at=split_at)
+
+    f1 = params["down1"]["block"]["conv2"]["kernel"].shape[3]   # 32
+    f2 = params["down2"]["block"]["conv2"]["kernel"].shape[3]   # 64
+    f3 = params["down3"]["block"]["conv2"]["kernel"].shape[3]   # 128
+    f4 = params["down4"]["block"]["conv2"]["kernel"].shape[3]   # 256
 
     b_in = blk("inconv", s2d=True)
     b_d1 = blk("down1", s2d=True)
@@ -131,9 +161,9 @@ def build_fast_resunet_forward(variables, *, dtype=jnp.bfloat16,
     b_d3 = blk("down3", s2d=False)
     b_d4 = blk("down4", s2d=False)
     b_u1 = blk("up1", s2d=False)
-    b_u2 = blk("up2", s2d=False)
-    b_u3 = blk("up3", s2d=True)
-    b_u4 = blk("up4", s2d=True)
+    b_u2 = blk("up2", s2d=False, split_at=f4)
+    b_u3 = blk("up3", s2d=True, split_at=f3)
+    b_u4 = blk("up4", s2d=True, split_at=f2)
 
     def conv1x1(x, scope, f32_out=True):
         p = params[scope]
@@ -194,23 +224,20 @@ def build_fast_resunet_forward(variables, *, dtype=jnp.bfloat16,
         y = upsample_align_corners(x5, axes=(1, 2), factors=(2, 2))
         y = b_u1(y)                          # 68^2 x 256
 
+        # decoder skip concats stay VIRTUAL: upsampling is linear, so
+        # up(concat(y, skip)) feeds the split block as (up(y), up(skip))
         y = replication_pad_to(y, x4.shape[1], x4.shape[2])
-        y = jnp.concatenate([y, x4], axis=-1)
-        y = upsample_align_corners(y, axes=(1, 2), factors=(2, 2))
-        y = b_u2(y)                          # 136^2 x 128
+        y = b_u2((upsample_align_corners(y, axes=(1, 2), factors=(2, 2)),
+                  upsample_align_corners(x4, axes=(1, 2), factors=(2, 2))))
 
         y = replication_pad_to(y, x3.shape[1], x3.shape[2])
-        y = jnp.concatenate([y, x3], axis=-1)
-        ys = _upsample2x_to_s2d(y, dtype)    # s2d of 272^2 x 192
-        ys = b_u3(ys)                        # s2d of 272^2 x 64
+        ys = b_u3((_upsample2x_to_s2d(y, dtype),
+                   _upsample2x_to_s2d(x3, dtype)))   # s2d of 272^2 x 64
 
-        # skip concat at 272^2 in s2d channel order (qy, qx, c): per-parity
-        # channel interleave of up3-out (64) and x2 (32)
         y_d = depth_to_space(ys)
         y_d = replication_pad_to(y_d, x2.shape[1], x2.shape[2])
-        y_d = jnp.concatenate([y_d, x2], axis=-1)
-        ys = _upsample2x_to_s2d(y_d, dtype)  # s2d of 544^2 x 96
-        ys = b_u4(ys)                        # s2d of 544^2 x 32
+        ys = b_u4((_upsample2x_to_s2d(y_d, dtype),
+                   _upsample2x_to_s2d(x2, dtype)))   # s2d of 544^2 x 32
 
         emb_s = conv1x1_s2d(ys, "outconv_emb")
         embedding = depth_to_space(emb_s)

@@ -63,13 +63,34 @@ class TiledInference3D:
 
     def __init__(self, crop_size=(18, 160, 160), stride=(10, 80, 80),
                  padding=(4, 48, 48), sigma: float = 0.2,
-                 batch_size: int = 8, device_accumulate: bool = True):
+                 batch_size: int = 8, device_accumulate: bool = True,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with a 'data' axis. The tile
+        batch axis of every forward is sharded over it (tile parallelism —
+        the reference's per-tile loop, provider_valid.py:212-240, is the
+        unit of distribution), while the canvases stay replicated; XLA
+        inserts the all-gather of the (small) per-tile affinities before
+        the accumulation scatter. batch_size must divide by the mesh size."""
         self.crop_size = tuple(crop_size)
         self.stride = tuple(stride)
         self.padding = tuple(padding)
         self.batch_size = batch_size
         self.weight = gaussian_blend_weight(self.crop_size, sigma=sigma)
         self.device_accumulate = device_accumulate
+        self.mesh = mesh
+        if mesh is not None:
+            n_dev = mesh.devices.size
+            assert batch_size % n_dev == 0, (batch_size, n_dev)
+
+    def _shard_tiles(self, tiles):
+        """Constrain the tile batch axis onto the mesh 'data' axis."""
+        if self.mesh is None:
+            return tiles
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(self.mesh, P("data", *([None] * (tiles.ndim - 1))))
+        return jax.lax.with_sharding_constraint(tiles, sh)
 
     def run_device_resident(self, volume: np.ndarray, predict_fn: Callable,
                             n_channels: int,
@@ -103,6 +124,7 @@ class TiledInference3D:
         def step(canvas, wmap, pos_b, vol_in):
             tiles = jax.vmap(lambda p: jax.lax.dynamic_slice(
                 vol_in, (p[0], p[1], p[2]), (cz, cy, cx)))(pos_b)
+            tiles = self._shard_tiles(tiles)
             affs = predict_fn(tiles[..., None])  # (B, K, cz, cy, cx)
 
             def body(i, carry):
@@ -186,6 +208,13 @@ class TiledInference3D:
             if n_real < bs:  # pad to static batch for jit
                 tiles = np.concatenate(
                     [tiles, np.repeat(tiles[-1:], bs - n_real, axis=0)])
+            if self.mesh is not None:
+                import jax as _jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                tiles = _jax.device_put(
+                    tiles, NamedSharding(self.mesh,
+                                         P("data", None, None, None, None)))
             affs = predict_fn(tiles)  # (B, K, cz, cy, cx)
             if self.device_accumulate:
                 pos_arr = np.asarray(

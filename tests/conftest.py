@@ -8,16 +8,22 @@ been initialized yet (first jax.devices() call happens inside tests).
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# PEA_TPU_TESTS=1 keeps the real TPU backend (for the `-m tpu` tier, which
+# exercises Mosaic-compiled kernels instead of the interpreter)
+_TPU_TIER = os.environ.get("PEA_TPU_TESTS") == "1"
+
+if not _TPU_TIER:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_TIER:
+    jax.config.update("jax_platforms", "cpu")
 # exact f32 convs/matmuls for reference-parity tests (the framework default
 # stays fast bf16-class MXU passes in production)
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,5 +1,6 @@
 """BBBC train step: mask-head loss path + deep supervision with shifts [1,3,5,9,11]."""
 
+import pytest
 import numpy as np
 import jax
 
@@ -8,6 +9,8 @@ from pixel_embedded_affinity_tpu.ops import multi_offset
 from pixel_embedded_affinity_tpu.train.loop import build_model, init_state
 from pixel_embedded_affinity_tpu.train.optim import make_optimizer
 from pixel_embedded_affinity_tpu.train.train_step import make_train_step_2d
+
+pytestmark = pytest.mark.slow
 
 
 def test_bbbc_train_step_with_mask_head(tmp_path):

@@ -1,5 +1,6 @@
 """Device-side GT generation vs the host numpy path (exact parity)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -12,6 +13,8 @@ from pixel_embedded_affinity_tpu.ops.affinity_jax import (
     gen_affs_jax, weight_binary_ratio_jax, label_pyramid_jax,
     build_targets_2d_jax,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def test_gen_affs_jax_matches_numpy():

@@ -1,5 +1,6 @@
 """Optimized s2d inference forward vs the Flax module (exact math)."""
 
+import pytest
 import functools
 
 import jax
@@ -11,6 +12,8 @@ from pixel_embedded_affinity_tpu.models.fast_forward import (
     build_fast_resunet_forward)
 from pixel_embedded_affinity_tpu.ops.s2d import (
     space_to_depth, depth_to_space, s2d_conv_weights)
+
+pytestmark = pytest.mark.slow
 
 
 def test_s2d_conv_exact():

@@ -7,6 +7,8 @@ import pytest
 
 from pixel_embedded_affinity_tpu.config import load_config
 
+pytestmark = pytest.mark.slow
+
 
 def test_run_inference_2d_bbbc(tmp_path):
     """BBBC path: predicted-mask-seeded decode + AJI/F1/PQ metrics."""

@@ -105,3 +105,57 @@ def test_unet3d_mala_deep_parity():
     j = np.transpose(np.asarray(jout), (0, 4, 1, 2, 3))
     assert j.shape == tuple(tout.shape), (j.shape, tuple(tout.shape))
     np.testing.assert_allclose(j, tout.numpy(), atol=2e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Committed golden fixtures (no torch / reference checkout needed): tiny
+# random-init torch state_dicts + eval outputs generated ONCE by
+# docs/gen_parity_fixtures.py. Locks checkpoint-level parity in-repo
+# (BASELINE "reproduce reference-checkpoint affinity outputs").
+# ---------------------------------------------------------------------------
+
+import os
+
+pytestmark = pytest.mark.slow
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _load_fixture(name):
+    path = os.path.join(FIXTURES, name)
+    data = np.load(path)
+    sd = {k[3:]: data[k] for k in data.files if k.startswith("sd/")}
+    outs = [data[f"out/{i}"] for i in range(len(
+        [k for k in data.files if k.startswith("out/")]))]
+    return data, sd, outs
+
+
+def test_resunet2d_fixture_parity():
+    data, sd, outs = _load_fixture("resunet2d_deep.npz")
+    variables = to_jax_variables(convert_resunet2d_deep(sd))
+    jmodel = ResidualUNet2DDeep(out_channels=2, nfeatures=(8, 12, 16, 24, 32),
+                                emd=8)
+    jx = np.transpose(data["input"], (0, 2, 3, 1))
+    jouts = jmodel.apply(variables, jx, train=False)
+    for t, j in zip(outs, jouts):
+        j = np.transpose(np.asarray(j), (0, 3, 1, 2))
+        np.testing.assert_allclose(j, t, atol=2e-4, rtol=1e-3)
+
+    # reference embedding2affs golden (circular-roll semantics)
+    from pixel_embedded_affinity_tpu.ops import embedding_to_affinity_2d
+
+    emb = jouts[4]
+    affs = embedding_to_affinity_2d(emb, data["offsets"], padding="circular")
+    np.testing.assert_allclose(np.asarray(affs), data["affs"], atol=2e-4,
+                               rtol=1e-3)
+
+
+def test_unet_pni_fixture_parity():
+    data, sd, outs = _load_fixture("unet_pni_deep.npz")
+    variables = to_jax_variables(convert_unet_pni_deep(sd))
+    jmodel = UNetPNIEmbeddingDeep(filters=(8, 12, 16, 24, 32), emd=8)
+    jx = np.transpose(data["input"], (0, 2, 3, 4, 1))
+    jouts = jmodel.apply(variables, jx, train=False)
+    for t, j in zip(outs, jouts):
+        j = np.transpose(np.asarray(j), (0, 4, 1, 2, 3))
+        np.testing.assert_allclose(j, t, atol=1.5e-3, rtol=1e-2)

@@ -164,3 +164,33 @@ def test_tile_parallel_predict_over_mesh():
     assert out.shape == (3, 16, 40, 40)
     assert np.isfinite(out).all()
 
+
+
+def test_mesh_native_tiled_inference_matches_single_device():
+    """TiledInference3D(mesh=...) shards the tile batch over the 8-device
+    CPU mesh internally and must produce a canvas identical to the
+    single-device engine (VERDICT r1 item 9)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pixel_embedded_affinity_tpu.parallel import get_mesh
+    from pixel_embedded_affinity_tpu.parallel.tiling import TiledInference3D
+
+    rng = np.random.default_rng(0)
+    vol = rng.random((12, 40, 40)).astype(np.float32)
+
+    def predict_fn(tiles):  # (B, d, h, w, 1) -> (B, 3, d, h, w)
+        t = tiles[..., 0]
+        return jnp.stack([t, t * 0.5, -t], axis=1)
+
+    kw = dict(crop_size=(6, 16, 16), stride=(4, 8, 8), padding=(2, 4, 4),
+              batch_size=8)
+    single = TiledInference3D(**kw)
+    meshed = TiledInference3D(**kw, mesh=get_mesh())
+
+    out1 = single.run_device_resident(vol, predict_fn, n_channels=3)
+    out2 = meshed.run_device_resident(vol, predict_fn, n_channels=3)
+    np.testing.assert_allclose(out1, out2, atol=1e-6)
+
+    out3 = meshed.run(vol, predict_fn, n_channels=3)
+    np.testing.assert_allclose(out1, out3, atol=1e-5)

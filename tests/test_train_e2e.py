@@ -12,6 +12,8 @@ import pytest
 
 from pixel_embedded_affinity_tpu.config import load_config
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def cvppp_data(tmp_path_factory):
