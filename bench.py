@@ -1,7 +1,10 @@
 """Headline benchmark: megapixels/sec/chip for embedding->affinity inference.
 
 Flagship config (BASELINE config 1): CVPPP-scale 544x544 RGB through
-ResUNet2D-deep + fused Pallas embedding->affinity (10 offsets).
+ResUNet2D-deep + fused Pallas embedding->affinity (10 offsets). "Ours" runs
+the s2d fast forward (models/fast_forward.py: exact space-to-depth
+reformulation of the lane-starved high-res stages + folded BN + virtual
+skip concats) in bf16 at the best measured batch (B=8).
 
 Baseline for `vs_baseline`: the reference-faithful computation graph — the
 same model in f32 (the reference runs f32 torch, scripts_cvppp README env)
@@ -39,7 +42,7 @@ def main():
     from pixel_embedded_affinity_tpu.ops.emb2aff_pallas import fused_affinity_2d
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    B, H, W = 4, 544, 544
+    B, H, W = 8, 544, 544
     N = 20  # forwards per timed program
     rng = jax.random.PRNGKey(0)
     x = jnp.asarray(np.random.default_rng(0).normal(
@@ -96,7 +99,17 @@ def main():
     model_fast, vars_fast = build(fast_dtype)
     model_f32, vars_f32 = build(jnp.float32)
 
-    dt_ours = timeit(model_fast, vars_fast, fused)
+    from pixel_embedded_affinity_tpu.models.fast_forward import (
+        build_fast_resunet_forward)
+
+    fast_fwd = build_fast_resunet_forward(vars_fast, dtype=fast_dtype)
+
+    class _FastModel:
+        def apply(self, variables, image, train=False):
+            emb, mask = fast_fwd(image)
+            return None, None, None, None, emb, mask
+
+    dt_ours = timeit(_FastModel(), vars_fast, fused)
     dt_ref_f32 = timeit(model_f32, vars_f32, ref_style)
     dt_ref_same = timeit(model_fast, vars_fast, ref_style)
 

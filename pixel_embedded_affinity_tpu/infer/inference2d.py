@@ -41,10 +41,31 @@ def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None
 
     offsets_t = tuple(map(tuple, offsets))
 
+    # s2d fast forward (exact math, ~1.2-1.3x on chip) when the shapes and
+    # arch allow it; falls back to the Flax module otherwise
+    fast_fn = None
+    if use_pallas and cfg.model.arch == "resunet2d_deep":
+        try:
+            from ..models.fast_forward import build_fast_resunet_forward
+            import jax.numpy as jnp
+
+            # follow the model's compute dtype so metrics match the
+            # training-loop validation path bit-for-bit-ish
+            fdt = (jnp.bfloat16 if cfg.model.dtype == "bfloat16"
+                   else jnp.float32)
+            fast_fn = build_fast_resunet_forward(variables, dtype=fdt)
+        except Exception:  # unexpected param tree: use the module path
+            fast_fn = None
+
     @jax.jit
     def forward(image):
-        _, _, _, _, embedding, pred_mask = model.apply(variables, image,
-                                                       train=False)
+        if fast_fn is not None and image.shape[1] % 16 == 0 \
+                and image.shape[2] % 16 == 0:
+            embedding, pred_mask = fast_fn(image)
+            embedding = embedding.astype(jnp.float32)
+        else:
+            _, _, _, _, embedding, pred_mask = model.apply(variables, image,
+                                                           train=False)
         if use_pallas:
             affs = fused_affinity_2d(embedding, offsets_t, 32, False)
         else:

@@ -359,18 +359,23 @@ def _fused_cross_fwd(a, b, offsets, tile_h, interpret):
     return _fused_cross_affinity_2d_impl(a, b, offsets, tile_h, interpret), (a, b)
 
 
-def _cross_bwd_kernel(offsets,
+def _cross_bwd_kernel(offsets, normalized,
                       a_cur_ref, a_next_ref, b_prev_ref, b_cur_ref,
                       g_cur_ref, g_next_ref, da_ref, db_ref):
     """Cross-affinity gradients for both views in one pass:
     dna(p) = sum_k g_k(p) * nb(p+o_k);  dnb(p) = sum_k g_k(p-o_k) * na(p-o_k).
-    """
+    With ``normalized`` the inputs are unit vectors and dn is emitted raw
+    (the caller applies the normalization VJP)."""
     a_cur = a_cur_ref[0]
     b_cur = b_cur_ref[0]
-    na_cur = _normalize(a_cur)
-    na_next = _normalize(a_next_ref[0])
-    nb_cur = _normalize(b_cur)
-    nb_prev = _normalize(b_prev_ref[0])
+    if normalized:
+        na_cur, na_next = a_cur, a_next_ref[0]
+        nb_cur, nb_prev = b_cur, b_prev_ref[0]
+    else:
+        na_cur = _normalize(a_cur)
+        na_next = _normalize(a_next_ref[0])
+        nb_cur = _normalize(b_cur)
+        nb_prev = _normalize(b_prev_ref[0])
     g_cur = g_cur_ref[0]
     g_next = g_next_ref[0]
     dna = jnp.zeros_like(na_cur)
@@ -382,11 +387,16 @@ def _cross_bwd_kernel(offsets,
         gd = _cols(_rows_down(g_cur[k], g_next[k], sy), ox)
         na_d = _cols(_rows_down(na_cur, na_next, sy), ox)
         dnb = dnb + gd[None] * na_d
-    da_ref[0] = _normalize_vjp(a_cur, na_cur, dna)
-    db_ref[0] = _normalize_vjp(b_cur, nb_cur, dnb)
+    if normalized:
+        da_ref[0] = dna
+        db_ref[0] = dnb
+    else:
+        da_ref[0] = _normalize_vjp(a_cur, na_cur, dna)
+        db_ref[0] = _normalize_vjp(b_cur, nb_cur, dnb)
 
 
-def _fused_cross_bwd_impl(a_bhwc, b_bhwc, g_bkhw, offsets, tile_h, interpret):
+def _fused_cross_bwd_impl(a_bhwc, b_bhwc, g_bkhw, offsets, tile_h, interpret,
+                          normalized=False):
     b, h, w, c = a_bhwc.shape
     k = len(offsets)
     max_sy = max(-int(o[0]) for o in offsets)
@@ -402,7 +412,8 @@ def _fused_cross_bwd_impl(a_bhwc, b_bhwc, g_bkhw, offsets, tile_h, interpret):
     hp, wp = at.shape[2], at.shape[3]
     n_tiles = h_aligned // tile_h
 
-    kern = functools.partial(_cross_bwd_kernel, tuple(map(tuple, offsets)))
+    kern = functools.partial(_cross_bwd_kernel, tuple(map(tuple, offsets)),
+                             normalized)
     vm = pltpu.VMEM
     da, db = pl.pallas_call(
         kern,
@@ -587,3 +598,141 @@ def _fused_affinity_3d_bwd(shifts, tile_h, interpret, residual, g):
 
 
 fused_affinity_3d.defvjp(_fused_affinity_3d_fwd, _fused_affinity_3d_bwd)
+
+
+# ---------------------------------------------------------------------------
+# 3D cross-view (EMA) affinities: student dotted against the shifted TEACHER
+# embedding, one kernel pass for all K channels (the AC3/AC4 cross loss,
+# reference ema_embedding_loss_norm5, loss_embedding_mse.py:263-289).
+# ---------------------------------------------------------------------------
+
+def _cross_affinity_3d_kernel(xy_list, z_list, n_z_refs, *refs):
+    a_ref, b_cur_ref, b_prev_ref = refs[0], refs[1], refs[2]
+    z_refs = refs[3:3 + n_z_refs]
+    out_ref = refs[3 + n_z_refs]
+    na = _normalize(a_ref[0, :, 0])
+    nb_cur = _normalize(b_cur_ref[0, :, 0])
+    nb_prev = _normalize(b_prev_ref[0, :, 0])
+    for (oy, ox), oi in xy_list:
+        sy = -oy
+        shifted = _cols(_rows_up(nb_cur, nb_prev, sy), -ox)
+        out_ref[0, oi, 0] = jnp.sum(na * shifted, axis=0)
+    for ri, oi in z_list:
+        nz = _normalize(z_refs[ri][0, :, 0])
+        out_ref[0, oi, 0] = jnp.sum(na * nz, axis=0)
+
+
+def _split_shifts(shifts):
+    xy_list, z_list, uniq = [], [], []
+    for i, s in enumerate(shifts):
+        ax = i % 3
+        if ax == 0:
+            s = int(s)
+            if s not in uniq:
+                uniq.append(s)
+            z_list.append((uniq.index(s), i))
+        elif ax == 1:
+            xy_list.append(((-int(s), 0), i))
+        else:
+            xy_list.append(((0, -int(s)), i))
+    return xy_list, z_list, uniq
+
+
+def _fused_cross_affinity_3d_impl(a_bdhwc, b_bdhwc, shifts, tile_h,
+                                  interpret):
+    b, d, h, w, c = a_bdhwc.shape
+    xy_list, z_list, uniq = _split_shifts(shifts)
+    max_sy = max((-o[0] for (o, _) in xy_list), default=0)
+    assert tile_h >= max_sy >= 0
+    max_sz = max(uniq) if uniq else 0
+
+    def prep(e):
+        e = jnp.transpose(e, (0, 4, 1, 2, 3))
+        h_pad = tile_h + _round_up(h, tile_h) - h
+        w_pad = _round_up(max(w, 128), 128) - w
+        return jnp.pad(e, ((0, 0), (0, 0), (max_sz, 0),
+                           (tile_h, h_pad - tile_h), (0, w_pad)))
+
+    at = prep(a_bdhwc)
+    bt = prep(b_bdhwc)
+    hp, wp = at.shape[3], at.shape[4]
+    n_tiles = hp // tile_h
+    k = len(shifts)
+    vm = pltpu.VMEM
+
+    kern = functools.partial(_cross_affinity_3d_kernel, tuple(xy_list),
+                             tuple(z_list), len(uniq))
+    blk = (1, c, 1, tile_h, wp)
+    in_specs = [
+        pl.BlockSpec(blk, lambda bi, zi, i, m=max_sz: (bi, 0, zi + m, i, 0),
+                     memory_space=vm),                    # a cur
+        pl.BlockSpec(blk, lambda bi, zi, i, m=max_sz: (bi, 0, zi + m, i, 0),
+                     memory_space=vm),                    # b cur
+        pl.BlockSpec(blk, lambda bi, zi, i, m=max_sz:
+                     (bi, 0, zi + m, jnp.maximum(i - 1, 0), 0),
+                     memory_space=vm),                    # b prev row
+    ]
+    for s in uniq:
+        in_specs.append(pl.BlockSpec(
+            blk, lambda bi, zi, i, s=s, m=max_sz: (bi, 0, zi + m - s, i, 0),
+            memory_space=vm))
+    out = pl.pallas_call(
+        kern,
+        grid=(b, d, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, k, 1, tile_h, wp),
+                               lambda bi, zi, i: (bi, 0, zi, i, 0),
+                               memory_space=vm),
+        out_shape=jax.ShapeDtypeStruct((b, k, d, hp, wp), a_bdhwc.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(at, *([bt] * (2 + len(uniq))))
+    return out[:, :, :, tile_h:tile_h + h, :w]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_cross_affinity_3d(a_bdhwc, b_bdhwc,
+                            shifts=(1, 1, 1, 2, 3, 3, 3, 9, 9, 4, 27, 27),
+                            tile_h: int = 32,
+                            interpret: bool = False):
+    """(student, teacher) (B,D,H,W,C) -> (B,K,D,H,W) cross affinities."""
+    return _fused_cross_affinity_3d_impl(a_bdhwc, b_bdhwc, tuple(shifts),
+                                         tile_h, interpret)
+
+
+def _fused_cross_3d_fwd(a, b, shifts, tile_h, interpret):
+    return (_fused_cross_affinity_3d_impl(a, b, shifts, tile_h, interpret),
+            (a, b))
+
+
+def _fused_cross_3d_bwd(shifts, tile_h, interpret, res, g):
+    from .emb2aff import normalize_embedding
+
+    a, b = res
+    bsz, d, h, w, c = a.shape
+    na, vjp_a = jax.vjp(lambda x: normalize_embedding(x, axis=-1), a)
+    nb, vjp_b = jax.vjp(lambda x: normalize_embedding(x, axis=-1), b)
+    xy_list, z_list, _ = _split_shifts(shifts)
+
+    dna = jnp.zeros_like(na)
+    dnb = jnp.zeros_like(nb)
+    if xy_list:
+        xy_offsets = tuple(o for (o, _) in xy_list)
+        xy_idx = [i for (_, i) in xy_list]
+        g_xy = jnp.moveaxis(g[:, jnp.asarray(xy_idx)], 1, 2)
+        g_xy = g_xy.reshape(bsz * d, len(xy_offsets), h, w)
+        da_f, db_f = _fused_cross_bwd_impl(
+            na.reshape(bsz * d, h, w, c), nb.reshape(bsz * d, h, w, c),
+            g_xy, xy_offsets, tile_h, interpret, normalized=True)
+        dna = dna + da_f.reshape(bsz, d, h, w, c)
+        dnb = dnb + db_f.reshape(bsz, d, h, w, c)
+    for ri, i in z_list:
+        s = int(shifts[i])
+        gi = g[:, i, s:, :, :, None]
+        dna = dna.at[:, s:].add(gi * nb[:, : d - s])
+        dnb = dnb.at[:, : d - s].add(gi * na[:, s:])
+    return vjp_a(dna)[0], vjp_b(dnb)[0]
+
+
+fused_cross_affinity_3d.defvjp(_fused_cross_3d_fwd, _fused_cross_3d_bwd)

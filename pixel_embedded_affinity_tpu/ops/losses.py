@@ -262,6 +262,11 @@ def embedding_loss_norm5(embedding_bdhwc, target, weightmap,
     """
     if ema_embedding_bdhwc is None and use_pallas:
         affs = fused_affinity_3d(embedding_bdhwc, tuple(shifts), 32, interpret)
+    elif ema_embedding_bdhwc is not None and use_pallas:
+        from .emb2aff_pallas import fused_cross_affinity_3d
+
+        affs = fused_cross_affinity_3d(embedding_bdhwc, ema_embedding_bdhwc,
+                                       tuple(shifts), 32, interpret)
     else:
         n = normalize_embedding(embedding_bdhwc, axis=-1)
         n_lo = n if ema_embedding_bdhwc is None else normalize_embedding(

@@ -192,7 +192,8 @@ def make_train_step_3d(model, tx, *, criterion=L.weighted_mse,
             loss_cross, _ = L.embedding_loss_norm5(
                 embedding, batch["affs"], batch["wmap"], criterion=criterion,
                 affs0_weight=affs0_weight, shifts=shifts,
-                ema_embedding_bdhwc=ema_embedding, use_pallas=False)
+                ema_embedding_bdhwc=ema_embedding, use_pallas=use_pallas,
+                interpret=interpret)
         else:
             loss_emb, pred = L.embedding_loss_norm1(
                 embedding, batch["affs"], batch["wmap"], criterion=criterion,

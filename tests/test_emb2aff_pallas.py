@@ -140,3 +140,47 @@ def test_fused_3d_gradient_full_shift_table():
     g2 = jax.grad(lambda e: jnp.sum(
         wgt * embedding_to_affinity_3d(e, shifts)))(emb)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_fused_cross_affinity_3d():
+    """3D cross-view (EMA) kernel + gradients vs the jnp oracle."""
+    from pixel_embedded_affinity_tpu.ops.emb2aff_pallas import (
+        fused_cross_affinity_3d)
+    from pixel_embedded_affinity_tpu.ops.emb2aff import normalize_embedding
+
+    rng = np.random.default_rng(13)
+    a = jnp.asarray(rng.normal(size=(1, 6, 40, 36, 6)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(1, 6, 40, 36, 6)).astype(np.float32))
+    shifts = (1, 1, 1, 2, 3, 3, 3, 9, 9, 4, 27, 27)
+
+    def oracle(x, y):
+        nx = normalize_embedding(x, axis=-1)
+        ny = normalize_embedding(y, axis=-1)
+        d, h, w = x.shape[1:4]
+        dims = (d, h, w)
+        chans = []
+        for i, s in enumerate(shifts):
+            ax = i % 3
+            hi = [slice(None)] * 3
+            lo = [slice(None)] * 3
+            hi[ax] = slice(s, dims[ax])
+            lo[ax] = slice(0, dims[ax] - s)
+            v = jnp.sum(nx[(slice(None),) + tuple(hi)] *
+                        ny[(slice(None),) + tuple(lo)], axis=-1)
+            pad = [(0, 0)] * 4
+            pad[1 + ax] = (s, 0)
+            chans.append(jnp.pad(v, pad))
+        return jnp.stack(chans, axis=1)
+
+    got = np.asarray(fused_cross_affinity_3d(a, b, shifts, 32, INTERPRET))
+    exp = np.asarray(oracle(a, b))
+    np.testing.assert_allclose(got, exp, atol=1e-5)
+
+    wgt = jnp.asarray(rng.normal(size=got.shape).astype(np.float32))
+    g1 = jax.grad(lambda x, y: jnp.sum(
+        wgt * fused_cross_affinity_3d(x, y, shifts, 32, INTERPRET)),
+        argnums=(0, 1))(a, b)
+    g2 = jax.grad(lambda x, y: jnp.sum(wgt * oracle(x, y)),
+                  argnums=(0, 1))(a, b)
+    for u, v in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=1e-4)
