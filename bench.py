@@ -65,7 +65,7 @@ def main():
             def body(c, e):
                 _, _, _, _, emb, _ = model.apply(variables, x + e,
                                                  train=False)
-                affs = aff_fn(emb.astype(jnp.float32))
+                affs = aff_fn(emb)
                 return c + affs.astype(jnp.float32).sum(), None
             s, _ = jax.lax.scan(body, jnp.float32(0), eps)
             return s
@@ -80,15 +80,16 @@ def main():
         return (time.perf_counter() - t0) / (reps * N)
 
     def fused(emb):
+        # bf16 embedding straight into the kernel (it upcasts per-tile)
         if on_tpu:
             return jax.nn.relu(fused_affinity_2d(emb, offsets, 32, False))
-        return jax.nn.relu(embedding_to_affinity_2d(emb, offsets,
-                                                    padding="valid"))
+        return jax.nn.relu(embedding_to_affinity_2d(
+            emb.astype(jnp.float32), offsets, padding="valid"))
 
     def ref_style(emb):
         # reference embedding2affs: normalize then per-offset circular roll +
-        # channel-dot, one full pass per offset
-        n = normalize_embedding(emb, axis=-1)
+        # channel-dot, one full pass per offset (f32, as the reference runs)
+        n = normalize_embedding(emb.astype(jnp.float32), axis=-1)
         chans = []
         for oy, ox in offsets:
             shifted = jnp.roll(n, shift=(-oy, -ox), axis=(1, 2))

@@ -27,12 +27,21 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..ops.s2d import space_to_depth, depth_to_space, s2d_conv_weights
+from ..ops.s2d import (space_to_depth, depth_to_space, s2d_conv_weights,
+                       s2d_conv2x2_weights_qx)
 from .common import upsample_align_corners, replication_pad_to
 
 _conv = functools.partial(jax.lax.conv_general_dilated, window_strides=(1, 1),
                           padding="SAME",
                           dimension_numbers=("NHWC", "HWIO", "NHWC"))
+_conv2x2_x0 = functools.partial(jax.lax.conv_general_dilated,
+                                window_strides=(1, 1),
+                                padding=((1, 1), (1, 0)),
+                                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+_conv2x2_x1 = functools.partial(jax.lax.conv_general_dilated,
+                                window_strides=(1, 1),
+                                padding=((1, 1), (0, 1)),
+                                dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def _fold_bn(bn_params, bn_stats, conv_bias=None, eps=1e-5):
@@ -63,7 +72,8 @@ def _upsample2x_to_s2d(y, dtype):
     """(B, H, W, C) -> s2d view of the 2x align-corners upsample:
     (B, H, W, 4C) with channel order (qy, qx, c). The (2H, 2W) tensor never
     materializes: per-parity rows of the interpolation matrix are applied
-    as separate matmuls."""
+    as separate matmuls. (A two-tap shift-blend form was measured SLOWER
+    than these einsums on chip — see docs/PERF.md.)"""
     b, h, w, c = y.shape
     my = _interp_matrix(2 * h, h).astype(dtype)
     mx = _interp_matrix(2 * w, w).astype(dtype)
@@ -84,47 +94,123 @@ class _BlockW:
     materializes and (in s2d form) the fat 4*(Ca+Cb)-channel conv becomes
     two slimmer ones."""
 
-    def __init__(self, p, s, dtype, s2d: bool, split_at: int | None = None):
+    def __init__(self, p, s, dtype, s2d, split_at: int | None = None):
+        # s2d: False = direct-resolution convs; "dense" = dense 3x3
+        # block-space kernels (4x direct FLOPs, fewest ops — fastest at
+        # 272^2 where slice/concat passes are expensive); "2x2" = per-
+        # output-parity 2x2 kernels (1.78x FLOPs — fastest at <=136^2).
+        # Measured per-stage on v5e, see docs/PERF.md.
+        if s2d is True:
+            s2d = "dense"
         self.s2d = s2d
         self.split_at = split_at
-        self.w = {}
 
-        def prep(w):
-            if s2d:
-                w = s2d_conv_weights(w)
-            return w.astype(dtype)
-
+        folded = {}
         for conv_name, bn_name in (("conv1", "bn1"), ("conv2", "bn2"),
                                    ("project_conv", "project_bn")):
-            w = p[conv_name]["kernel"]
             scale, shift = _fold_bn(p[bn_name], s[bn_name],
                                     p[conv_name].get("bias"))
-            if s2d:
-                scale = jnp.tile(scale, 4)
-                shift = jnp.tile(shift, 4)
-            if split_at is not None and conv_name != "conv2":
-                self.w[conv_name] = ((prep(w[:, :, :split_at]),
-                                      prep(w[:, :, split_at:])), scale, shift)
-            else:
-                self.w[conv_name] = (prep(w), scale, shift)
+            # fold the BN scale into the conv weights (exact: per-output-
+            # channel column scaling commutes with the conv), leaving a
+            # shift-and-ReLU epilogue that XLA fuses into the conv output —
+            # no separate f32 elementwise pass over the activations.
+            folded[conv_name] = (p[conv_name]["kernel"].astype(jnp.float32)
+                                 * scale, shift)
 
-    def _in_conv(self, x, w):
+        if s2d is False or s2d == "dense":
+            self.w = {}
+            for conv_name in ("conv1", "conv2", "project_conv"):
+                w, shift = folded[conv_name]
+                if s2d == "dense":
+                    shift = jnp.tile(shift, 4)
+                shift = shift.astype(dtype)
+
+                def prep(wpart):
+                    if s2d == "dense":
+                        wpart = s2d_conv_weights(wpart)
+                    return wpart.astype(dtype)
+
+                if split_at is not None and conv_name != "conv2":
+                    self.w[conv_name] = ((prep(w[:, :, :split_at]),
+                                          prep(w[:, :, split_at:])), shift)
+                else:
+                    self.w[conv_name] = (prep(w), shift)
+            return
+
+        # s2d 2x2 parity form (ops/s2d.py::s2d_conv2x2_weights_qx): conv1
+        # and project share the block input, so they run fused, one conv
+        # per x output parity (asymmetric W padding absorbs the W shift);
+        # output groups per conv are (qy, [conv1 | project]). conv2 is a
+        # second pair of 2x2 convs whose sliced outputs are summed with
+        # the project slices.
+        w1, h1 = folded["conv1"]
+        wp, hp = folded["project_conv"]
+        w2, h2 = folded["conv2"]
+        self.c1, self.cp, self.c2 = (w1.shape[3], wp.shape[3], w2.shape[3])
+
+        def fuse(wa, wb, qx):
+            ka = s2d_conv2x2_weights_qx(wa, qx)
+            kb = s2d_conv2x2_weights_qx(wb, qx)
+            kh, kw, ci, _ = ka.shape
+            ka = ka.reshape(kh, kw, ci, 2, -1)
+            kb = kb.reshape(kh, kw, ci, 2, -1)
+            return (jnp.concatenate([ka, kb], axis=-1)
+                    .reshape(kh, kw, ci, -1).astype(dtype))
+
+        if split_at is not None:
+            # each split part arrives as its own s2d tensor, so the 2x2
+            # kernels are built from the per-part direct kernels
+            self.k1p = tuple(
+                (fuse(w1[:, :, :split_at], wp[:, :, :split_at], qx),
+                 fuse(w1[:, :, split_at:], wp[:, :, split_at:], qx))
+                for qx in range(2))
+        else:
+            self.k1p = tuple(fuse(w1, wp, qx) for qx in range(2))
+        self.h1p = jnp.tile(jnp.concatenate([h1, hp]), 2).astype(dtype)
+        self.k2 = tuple(s2d_conv2x2_weights_qx(w2, qx).astype(dtype)
+                        for qx in range(2))
+        self.h2 = jnp.tile(h2, 2).astype(dtype)
+
+    def _in_conv(self, x, w, conv=_conv):
         if self.split_at is not None:
             a, b = x
             wa, wb = w
-            return (_conv(a, wa).astype(jnp.float32)
-                    + _conv(b, wb).astype(jnp.float32))
-        return _conv(x, w).astype(jnp.float32)
+            return conv(a, wa) + conv(b, wb)
+        return conv(x, w)
 
     def __call__(self, x):
-        dt = (x[0] if self.split_at is not None else x).dtype
-        w1, s1, h1 = self.w["conv1"]
-        y = jax.nn.relu(self._in_conv(x, w1) * s1 + h1)
-        w2, s2, h2 = self.w["conv2"]
-        y = _conv(y.astype(dt), w2).astype(jnp.float32) * s2 + h2
-        wp, sp, hp = self.w["project_conv"]
-        proj = self._in_conv(x, wp) * sp + hp
-        return jax.nn.relu(y + proj).astype(dt)
+        if self.s2d == "2x2":
+            return self._call_s2d(x)
+        w1, h1 = self.w["conv1"]
+        y = jax.nn.relu(self._in_conv(x, w1) + h1)
+        w2, h2 = self.w["conv2"]
+        y = _conv(y, w2) + h2
+        wp, hp = self.w["project_conv"]
+        proj = self._in_conv(x, wp) + hp
+        return jax.nn.relu(y + proj)
+
+    def _call_s2d(self, x):
+        convs = (_conv2x2_x0, _conv2x2_x1)
+        g = self.c1 + self.cp
+        y_parts, p_parts = [None] * 4, [None] * 4
+        h = None
+        for qx in range(2):
+            v = self._in_conv(x, self.k1p[qx], conv=convs[qx]) + self.h1p
+            h = v.shape[1] - 1
+            for qy in range(2):
+                blk = v[:, qy:qy + h, :, qy * g:(qy + 1) * g]
+                y_parts[2 * qy + qx] = jax.nn.relu(blk[..., :self.c1])
+                p_parts[2 * qy + qx] = blk[..., self.c1:]
+        y1 = jnp.concatenate(y_parts, axis=-1)
+        outs = [None] * 4
+        for qx in range(2):
+            v2 = convs[qx](y1, self.k2[qx]) + self.h2
+            for qy in range(2):
+                q = 2 * qy + qx
+                outs[q] = jax.nn.relu(
+                    v2[:, qy:qy + h, :, qy * self.c2:(qy + 1) * self.c2]
+                    + p_parts[q])
+        return jnp.concatenate(outs, axis=-1)
 
 
 def _pool_s2d_to_direct(x_s2d):
@@ -155,15 +241,18 @@ def build_fast_resunet_forward(variables, *, dtype=jnp.bfloat16,
     f3 = params["down3"]["block"]["conv2"]["kernel"].shape[3]   # 128
     f4 = params["down4"]["block"]["conv2"]["kernel"].shape[3]   # 256
 
-    b_in = blk("inconv", s2d=True)
-    b_d1 = blk("down1", s2d=True)
-    b_d2 = blk("down2", s2d=True)
+    # per-stage kernel form, measured on v5e (docs/PERF.md): 2x2 parity
+    # kernels win at <=136^2; at 272^2 the extra slice/concat passes cost
+    # more than the 2.25x FLOP reduction saves, so those stay dense.
+    b_in = blk("inconv", s2d="dense")
+    b_d1 = blk("down1", s2d="dense")
+    b_d2 = blk("down2", s2d="2x2")
     b_d3 = blk("down3", s2d=False)
     b_d4 = blk("down4", s2d=False)
     b_u1 = blk("up1", s2d=False)
     b_u2 = blk("up2", s2d=False, split_at=f4)
-    b_u3 = blk("up3", s2d=True, split_at=f3)
-    b_u4 = blk("up4", s2d=True, split_at=f2)
+    b_u3 = blk("up3", s2d="2x2", split_at=f3)
+    b_u4 = blk("up4", s2d="dense", split_at=f2)
 
     def conv1x1(x, scope, f32_out=True):
         p = params[scope]
@@ -180,32 +269,38 @@ def build_fast_resunet_forward(variables, *, dtype=jnp.bfloat16,
         mh_scale, mh_shift = _fold_bn(mh_p["bn"], mh_s["bn"],
                                       mh_p["conv1"].get("bias"))
 
-    def mask_head(y):
+    def mask_head_s2d(ys):
+        """1x1-conv head applied per parity group in s2d space; only the
+        2-channel logits ever materialize at full resolution."""
         if not with_mask or mh_p is None:
             return None
-        h1 = jax.lax.dot_general(y, mh_p["conv1"]["kernel"][0, 0]
-                                 .astype(y.dtype),
-                                 (((y.ndim - 1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        h1 = jax.nn.relu(h1 * mh_scale + mh_shift).astype(y.dtype)
-        out = jax.lax.dot_general(h1, mh_p["conv2"]["kernel"][0, 0]
-                                  .astype(y.dtype),
-                                  (((h1.ndim - 1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        return out + mh_p["conv2"]["bias"].astype(jnp.float32)
+        b_, hh, ww, c4 = ys.shape
+        c = c4 // 4
+        xg = ys.reshape(b_, hh, ww, 4, c)
+        h1 = jnp.einsum("bhwqi,io->bhwqo", xg,
+                        mh_p["conv1"]["kernel"][0, 0].astype(ys.dtype),
+                        preferred_element_type=jnp.float32)
+        h1 = jax.nn.relu(h1 * mh_scale + mh_shift).astype(ys.dtype)
+        out = jnp.einsum("bhwqi,io->bhwqo", h1,
+                         mh_p["conv2"]["kernel"][0, 0].astype(ys.dtype),
+                         preferred_element_type=jnp.float32)
+        out = out + mh_p["conv2"]["bias"].astype(jnp.float32)
+        return depth_to_space(out.reshape(b_, hh, ww, -1))
 
     def conv1x1_s2d(x_s2d, scope):
-        """1x1 conv applied per parity group in s2d space."""
+        """1x1 conv applied per parity group in s2d space. Output stays in
+        the compute dtype: the fused affinity kernel upcasts per-tile, so
+        a full-res f32 embedding never hits HBM on the fast path."""
         p = params[scope]
         w = p["kernel"][0, 0].astype(dtype)  # (Cin, Cout)
         cin, cout = w.shape
         b_, hh, ww, _ = x_s2d.shape
         xg = x_s2d.reshape(b_, hh, ww, 4, cin)
-        y = jnp.einsum("bhwqi,io->bhwqo", xg, w)
-        y = y.astype(jnp.float32)
+        y = jnp.einsum("bhwqi,io->bhwqo", xg, w,
+                       preferred_element_type=jnp.float32)
         if "bias" in p:
             y = y + p["bias"].astype(jnp.float32)
-        return y.reshape(b_, hh, ww, 4 * cout)
+        return y.astype(x_s2d.dtype).reshape(b_, hh, ww, 4 * cout)
 
     def forward(image):
         x = image.astype(dtype)
@@ -241,8 +336,7 @@ def build_fast_resunet_forward(variables, *, dtype=jnp.bfloat16,
 
         emb_s = conv1x1_s2d(ys, "outconv_emb")
         embedding = depth_to_space(emb_s)
-        y_full = depth_to_space(ys)
-        mask = mask_head(y_full)
+        mask = mask_head_s2d(ys)
         return embedding, mask
 
     return forward

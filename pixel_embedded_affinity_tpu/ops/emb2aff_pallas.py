@@ -52,9 +52,11 @@ def _normalize(e, eps=1e-12):
 
 
 def _affinity_kernel(offsets, normalized, cur_ref, prev_ref, out_ref):
-    # blocks: cur/prev (1, C, TH, W), out (1, K, TH, W)
-    cur = cur_ref[0]
-    prev = prev_ref[0]
+    # blocks: cur/prev (1, C, TH, W), out (1, K, TH, W). Compute is f32
+    # regardless of the storage dtype (bf16 inputs halve HBM traffic; the
+    # normalize/dot runs in registers).
+    cur = cur_ref[0].astype(jnp.float32)
+    prev = prev_ref[0].astype(jnp.float32)
     if not normalized:
         cur = _normalize(cur)
         prev = _normalize(prev)
@@ -78,7 +80,7 @@ def _affinity_kernel(offsets, normalized, cur_ref, prev_ref, out_ref):
             shifted = jnp.concatenate([rows[:, :, ox:], zeros], axis=2)
         else:
             shifted = rows
-        out_ref[0, k] = jnp.sum(cur * shifted, axis=0)
+        out_ref[0, k] = jnp.sum(cur * shifted, axis=0).astype(out_ref.dtype)
 
 
 def _fused_affinity_2d_fwd_impl(embedding_bhwc: jnp.ndarray,
@@ -282,9 +284,9 @@ fused_affinity_2d.defvjp(_fused_affinity_2d_fwd, _fused_affinity_2d_bwd)
 # ---------------------------------------------------------------------------
 
 def _cross_affinity_kernel(offsets, a_ref, b_cur_ref, b_prev_ref, out_ref):
-    a = _normalize(a_ref[0])
-    b_cur = _normalize(b_cur_ref[0])
-    b_prev = _normalize(b_prev_ref[0])
+    a = _normalize(a_ref[0].astype(jnp.float32))
+    b_cur = _normalize(b_cur_ref[0].astype(jnp.float32))
+    b_prev = _normalize(b_prev_ref[0].astype(jnp.float32))
     th = a.shape[1]
     w = a.shape[2]
     for k, (oy, ox) in enumerate(offsets):
@@ -303,7 +305,7 @@ def _cross_affinity_kernel(offsets, a_ref, b_cur_ref, b_prev_ref, out_ref):
             shifted = jnp.concatenate([rows[:, :, ox:], zeros], axis=2)
         else:
             shifted = rows
-        out_ref[0, k] = jnp.sum(a * shifted, axis=0)
+        out_ref[0, k] = jnp.sum(a * shifted, axis=0).astype(out_ref.dtype)
 
 
 def _fused_cross_affinity_2d_impl(a_bhwc, b_bhwc, offsets, tile_h, interpret):
@@ -474,15 +476,15 @@ def _affinity_3d_kernel(xy_list, z_list, n_z_refs, *refs):
     e_cur_ref, e_prev_ref = refs[0], refs[1]
     z_refs = refs[2:2 + n_z_refs]
     out_ref = refs[2 + n_z_refs]
-    cur = _normalize(e_cur_ref[0, :, 0])
-    prev = _normalize(e_prev_ref[0, :, 0])
+    cur = _normalize(e_cur_ref[0, :, 0].astype(jnp.float32))
+    prev = _normalize(e_prev_ref[0, :, 0].astype(jnp.float32))
     for (oy, ox), oi in xy_list:
         sy = -oy
         shifted = _cols(_rows_up(cur, prev, sy), -ox)
-        out_ref[0, oi, 0] = jnp.sum(cur * shifted, axis=0)
+        out_ref[0, oi, 0] = jnp.sum(cur * shifted, axis=0).astype(out_ref.dtype)
     for ri, oi in z_list:
-        nz = _normalize(z_refs[ri][0, :, 0])
-        out_ref[0, oi, 0] = jnp.sum(cur * nz, axis=0)
+        nz = _normalize(z_refs[ri][0, :, 0].astype(jnp.float32))
+        out_ref[0, oi, 0] = jnp.sum(cur * nz, axis=0).astype(out_ref.dtype)
 
 
 def _fused_affinity_3d_impl(embedding_bdhwc, shifts, tile_h, interpret):
@@ -610,16 +612,16 @@ def _cross_affinity_3d_kernel(xy_list, z_list, n_z_refs, *refs):
     a_ref, b_cur_ref, b_prev_ref = refs[0], refs[1], refs[2]
     z_refs = refs[3:3 + n_z_refs]
     out_ref = refs[3 + n_z_refs]
-    na = _normalize(a_ref[0, :, 0])
-    nb_cur = _normalize(b_cur_ref[0, :, 0])
-    nb_prev = _normalize(b_prev_ref[0, :, 0])
+    na = _normalize(a_ref[0, :, 0].astype(jnp.float32))
+    nb_cur = _normalize(b_cur_ref[0, :, 0].astype(jnp.float32))
+    nb_prev = _normalize(b_prev_ref[0, :, 0].astype(jnp.float32))
     for (oy, ox), oi in xy_list:
         sy = -oy
         shifted = _cols(_rows_up(nb_cur, nb_prev, sy), -ox)
-        out_ref[0, oi, 0] = jnp.sum(na * shifted, axis=0)
+        out_ref[0, oi, 0] = jnp.sum(na * shifted, axis=0).astype(out_ref.dtype)
     for ri, oi in z_list:
-        nz = _normalize(z_refs[ri][0, :, 0])
-        out_ref[0, oi, 0] = jnp.sum(na * nz, axis=0)
+        nz = _normalize(z_refs[ri][0, :, 0].astype(jnp.float32))
+        out_ref[0, oi, 0] = jnp.sum(na * nz, axis=0).astype(out_ref.dtype)
 
 
 def _split_shifts(shifts):
