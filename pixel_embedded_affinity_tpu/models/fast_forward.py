@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.s2d import (space_to_depth, depth_to_space, s2d_conv_weights,
-                       s2d_conv2x2_weights_qx)
+                       s2d_conv2x2_weights, s2d_conv2x2_weights_qx)
+from ..ops.s2d_block_pallas import fused_s2d_block
 from .common import upsample_align_corners, replication_pad_to
 
 _conv = functools.partial(jax.lax.conv_general_dilated, window_strides=(1, 1),
@@ -96,14 +97,16 @@ class _BlockW:
 
     def __init__(self, p, s, dtype, s2d, split_at: int | None = None):
         # s2d: False = direct-resolution convs; "dense" = dense 3x3
-        # block-space kernels (4x direct FLOPs, fewest ops — fastest at
-        # 272^2 where slice/concat passes are expensive); "2x2" = per-
-        # output-parity 2x2 kernels (1.78x FLOPs — fastest at <=136^2).
+        # block-space kernels (4x direct FLOPs, fewest ops); "2x2" = per-
+        # output-parity 2x2 kernels (1.78x FLOPs) in XLA; "pallas" = the
+        # whole block as ONE fused Pallas kernel (2x2 parity matmuls with
+        # VMEM-resident intermediates — ops/s2d_block_pallas.py).
         # Measured per-stage on v5e, see docs/PERF.md.
         if s2d is True:
             s2d = "dense"
         self.s2d = s2d
         self.split_at = split_at
+        self.interpret = False  # pallas interpret mode (tests)
 
         folded = {}
         for conv_name, bn_name in (("conv1", "bn1"), ("conv2", "bn2"),
@@ -157,6 +160,28 @@ class _BlockW:
             return (jnp.concatenate([ka, kb], axis=-1)
                     .reshape(kh, kw, ci, -1).astype(dtype))
 
+        def fuse_full(wa, wb):
+            ka = s2d_conv2x2_weights(wa)
+            kb = s2d_conv2x2_weights(wb)
+            kh, kw, ci, _ = ka.shape
+            ka = ka.reshape(kh, kw, ci, 4, -1)
+            kb = kb.reshape(kh, kw, ci, 4, -1)
+            return (jnp.concatenate([ka, kb], axis=-1)
+                    .reshape(kh, kw, ci, -1).astype(dtype))
+
+        if s2d == "pallas":
+            if split_at is not None:
+                self.k1p = (fuse_full(w1[:, :, :split_at],
+                                      wp[:, :, :split_at]),
+                            fuse_full(w1[:, :, split_at:],
+                                      wp[:, :, split_at:]))
+            else:
+                self.k1p = fuse_full(w1, wp)
+            self.h1p = jnp.tile(jnp.concatenate([h1, hp]), 4).astype(dtype)
+            self.k2 = s2d_conv2x2_weights(w2).astype(dtype)
+            self.h2 = jnp.tile(h2, 4).astype(dtype)
+            return
+
         if split_at is not None:
             # each split part arrives as its own s2d tensor, so the 2x2
             # kernels are built from the per-part direct kernels
@@ -179,6 +204,14 @@ class _BlockW:
         return conv(x, w)
 
     def __call__(self, x):
+        if self.s2d == "pallas":
+            xs = x if self.split_at is not None else (x,)
+            k1ps = self.k1p if self.split_at is not None else (self.k1p,)
+            h = xs[0].shape[1]
+            tile_h = max(t for t in (32, 16, 8, 4, 2) if h % t == 0)
+            return fused_s2d_block(xs, k1ps, self.h1p, self.k2, self.h2,
+                                   self.c1, self.cp, self.c2,
+                                   tile_h=tile_h, interpret=self.interpret)
         if self.s2d == "2x2":
             return self._call_s2d(x)
         w1, h1 = self.w["conv1"]

@@ -90,3 +90,42 @@ def test_mosaic_conv3x3_blocked():
         got = np.asarray(jax.jit(lambda x, w: conv3x3_blocked(
             x, w, tile_h=8))(x, w))
         np.testing.assert_allclose(got, np.asarray(conv(x, w)), atol=2e-3)
+
+
+def test_mosaic_fused_s2d_block():
+    """The fused residual-block kernel Mosaic-compiles and matches the
+    direct-resolution block (bf16 tolerance)."""
+    from pixel_embedded_affinity_tpu.ops.s2d import (
+        space_to_depth, s2d_conv2x2_weights)
+    from pixel_embedded_affinity_tpu.ops.s2d_block_pallas import (
+        fused_s2d_block)
+
+    conv = functools.partial(jax.lax.conv_general_dilated,
+                             window_strides=(1, 1), padding="SAME",
+                             dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    rng = np.random.default_rng(0)
+    ci, co, h, w = 16, 32, 64, 48
+    mkw = lambda a, b: jnp.asarray(
+        rng.normal(size=(3, 3, a, b)).astype(np.float32) * 0.2)
+    w1, wp, w2 = mkw(ci, co), mkw(ci, co), mkw(co, co)
+    h1, hp, h2 = (jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+                  for _ in range(3))
+    x = jnp.asarray(rng.normal(size=(2, h, w, ci)).astype(np.float32))
+    y1 = jax.nn.relu(conv(x, w1) + h1)
+    ref = space_to_depth(jax.nn.relu(conv(y1, w2) + h2 + conv(x, wp) + hp))
+
+    def fuse(wa, wb):
+        ka, kb = s2d_conv2x2_weights(wa), s2d_conv2x2_weights(wb)
+        kh, kw, cc, _ = ka.shape
+        return jnp.concatenate(
+            [ka.reshape(kh, kw, cc, 4, -1), kb.reshape(kh, kw, cc, 4, -1)],
+            -1).reshape(kh, kw, cc, -1).astype(jnp.bfloat16)
+
+    got = jax.jit(lambda a: fused_s2d_block(
+        a, fuse(w1, wp), jnp.tile(jnp.concatenate([h1, hp]), 4)
+        .astype(jnp.bfloat16),
+        s2d_conv2x2_weights(w2).astype(jnp.bfloat16),
+        jnp.tile(h2, 4).astype(jnp.bfloat16),
+        co, co, co, tile_h=8))(space_to_depth(x).astype(jnp.bfloat16))
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref), atol=0.15, rtol=0.05)
