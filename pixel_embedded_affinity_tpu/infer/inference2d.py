@@ -57,20 +57,43 @@ def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None
         except Exception:  # unexpected param tree: use the module path
             fast_fn = None
 
-    @jax.jit
-    def forward(image):
-        if fast_fn is not None and image.shape[1] % 16 == 0 \
-                and image.shape[2] % 16 == 0:
-            embedding, pred_mask = fast_fn(image)
-            embedding = embedding.astype(jnp.float32)
-        else:
-            _, _, _, _, embedding, pred_mask = model.apply(variables, image,
-                                                           train=False)
+    fast_packed_fn = None
+    if fast_fn is not None:
+        import jax.numpy as jnp
+
+        fdt = (jnp.bfloat16 if cfg.model.dtype == "bfloat16"
+               else jnp.float32)
+        fast_packed_fn = build_fast_resunet_forward(variables, dtype=fdt,
+                                                    input_format="s2d")
+
+    def _aff(embedding):
         if use_pallas:
             affs = fused_affinity_2d(embedding, offsets_t, 32, False)
         else:
             affs = embedding_to_affinity_2d(embedding, offsets_t)
-        return jax.nn.relu(affs), embedding, pred_mask
+        return jax.nn.relu(affs)
+
+    @jax.jit
+    def forward_fast(packed):
+        # host-packed s2d image (models/fast_forward.py::pack_image_s2d):
+        # the 42x-lane-padded NHWC image never materializes on device
+        embedding, pred_mask = fast_packed_fn(packed)
+        embedding = embedding.astype(jnp.float32)
+        return _aff(embedding), embedding, pred_mask
+
+    @jax.jit
+    def forward_slow(image):
+        _, _, _, _, embedding, pred_mask = model.apply(variables, image,
+                                                       train=False)
+        return _aff(embedding), embedding, pred_mask
+
+    def forward(image_np):
+        if fast_packed_fn is not None and image_np.shape[1] % 16 == 0 \
+                and image_np.shape[2] % 16 == 0:
+            from ..models.fast_forward import pack_image_s2d
+
+            return forward_fast(pack_image_s2d(image_np))
+        return forward_slow(image_np)
 
     results = []
     segs = []

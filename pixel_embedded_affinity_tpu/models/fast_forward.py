@@ -254,10 +254,29 @@ def _pool_s2d_to_direct(x_s2d):
     return jnp.max(x_s2d.reshape(b, h, w, 4, c), axis=3)
 
 
+def pack_image_s2d(image_nhwc):
+    """Host-side image packing for ``input_format='s2d'``: (B, H, W, 3) ->
+    (B, H/2, W/2, 12), channel order (py, px, c). A free numpy transform
+    on the host; on device the 3-channel NHWC tensor would be lane-padded
+    42x (C pads to 128), so uploading the packed form makes the input
+    read ~10x cheaper."""
+    import numpy as np
+
+    x = np.asarray(image_nhwc)
+    b, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return np.ascontiguousarray(x.reshape(b, h // 2, w // 2, 4 * c))
+
+
 def build_fast_resunet_forward(variables, *, dtype=jnp.bfloat16,
-                               with_mask: bool = True):
+                               with_mask: bool = True,
+                               input_format: str = "nhwc"):
     """Returns fn(image) -> (embedding, mask_logits) matching
-    ResidualUNet2DDeep.apply(variables, image, train=False)[4:6]."""
+    ResidualUNet2DDeep.apply(variables, image, train=False)[4:6].
+
+    input_format="s2d": the function takes a host-packed image
+    (pack_image_s2d) instead of NHWC."""
     import flax.linen as nn
 
     params = variables["params"]
@@ -336,12 +355,20 @@ def build_fast_resunet_forward(variables, *, dtype=jnp.bfloat16,
         return y.astype(x_s2d.dtype).reshape(b_, hh, ww, 4 * cout)
 
     def forward(image):
-        x = image.astype(dtype)
-        b, h0, w0, _ = x.shape
+        if input_format == "s2d":
+            # host-packed (B, H/2, W/2, 4*3) image (pack_image_s2d): the
+            # NHWC image tensor never materializes on device — its 3
+            # channels lane-pad 42x, so just reading it costs ~1.5 ms at
+            # 544^2 B=8 (docs/PERF.md)
+            xs = image.astype(dtype)
+            h0, w0 = 2 * image.shape[1], 2 * image.shape[2]
+        else:
+            x = image.astype(dtype)
+            h0, w0 = x.shape[1], x.shape[2]
+            xs = space_to_depth(x)           # 544 stage in s2d @272
         assert h0 % 16 == 0 and w0 % 16 == 0, \
             "fast forward requires H, W divisible by 16"
 
-        xs = space_to_depth(x)               # 544 stage in s2d @272
         x1s = b_in(xs)                       # 4x16
         x2 = _pool_s2d_to_direct(b_d1(x1s))  # 272^2 x 32
         x2s = space_to_depth(x2)             # 272 stage in s2d @136

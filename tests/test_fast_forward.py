@@ -50,3 +50,22 @@ def test_fast_forward_matches_flax_module():
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(mask), np.asarray(ref_mask),
                                atol=2e-4)
+
+
+def test_fast_forward_packed_input_matches():
+    from pixel_embedded_affinity_tpu.models.fast_forward import pack_image_s2d
+
+    rng = np.random.default_rng(2)
+    model = ResidualUNet2DDeep(out_channels=2, nfeatures=(8, 12, 16, 24, 32),
+                               emd=8)
+    x = jnp.asarray(rng.normal(size=(2, 64, 48, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    ref_emb, ref_mask = build_fast_resunet_forward(
+        variables, dtype=jnp.float32)(x)
+    packed = jnp.asarray(pack_image_s2d(np.asarray(x)))
+    emb, mask = build_fast_resunet_forward(
+        variables, dtype=jnp.float32, input_format="s2d")(packed)
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(ref_emb),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mask), np.asarray(ref_mask),
+                               atol=1e-5)
