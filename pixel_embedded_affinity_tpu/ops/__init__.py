@@ -4,6 +4,9 @@ from .affinity_np import (
     seg_to_aff_3d,
     weight_binary_ratio,
     seg_widen_border,
+    seg_to_instance_bd,
+    weight_unet2d,
+    weight_unet3d,
     relabel,
     remove_small,
     label_pyramid,

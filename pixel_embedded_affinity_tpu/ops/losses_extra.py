@@ -115,3 +115,61 @@ def embeddings_to_affinities_distance(embedding, offsets, delta: float = 1.5):
 def rescaled_affinity(affs):
     """(a + 1) / 2 clamped to [0, 1] — norm2-family ablation."""
     return jnp.clip((affs + 1.0) / 2.0, 0.0, 1.0)
+
+
+def affinity_norm6_3d(embedding_bdhwc, offsets, ema_embedding=None):
+    """norm6 affinities: ARBITRARY (z, y, x) offsets via replication-pad
+    shifts of the normalized embedding (scripts_ac3ac4/loss/
+    loss_embedding_mse.py:346-365; EMA form l.356-365). ``offsets`` as in
+    ops.offsets.shift_channels_offsets; channels-first (B, K, D, H, W)."""
+    n = normalize_embedding(embedding_bdhwc, axis=-1)
+    other = (n if ema_embedding is None
+             else normalize_embedding(ema_embedding, axis=-1))
+    chans = []
+    for off in offsets:
+        inv = [-int(o) for o in off]
+        shifted = _shift_replicate(other, inv)
+        chans.append(jnp.sum(n * shifted, axis=-1))
+    return jnp.stack(chans, axis=1)
+
+
+def embedding_loss_norm6(embedding_bdhwc, target_bkdhw, weight_bkdhw,
+                         criterion, offsets, ema_embedding=None):
+    """loss + affinities for the norm6 arbitrary-offset path
+    (embedding_loss_norm6 / ema_embedding_loss_norm6)."""
+    affs = affinity_norm6_3d(embedding_bdhwc, offsets,
+                             ema_embedding=ema_embedding)
+    return criterion(affs, target_bkdhw, weight_bkdhw), affs
+
+
+def orthogonal_affinity_2d(embedding_bhwc, offsets, mode: str = "cos"):
+    """BBBC 'orthogonal' affinity variants (scripts_bbbc039v1/loss/
+    loss_embedding_orthogonal.py:7-20): circular-roll neighbors of the
+    normalized embedding; mode='cos' -> (dot + 1) / 2, else the L2 form
+    1 - ||e - e'||^2 / 4; both clamped to [0, 1]. Channels-first."""
+    n = normalize_embedding(embedding_bhwc, axis=-1)
+    chans = []
+    for oy, ox in offsets:
+        shifted = jnp.roll(n, shift=(-int(oy), -int(ox)), axis=(1, 2))
+        if mode == "cos":
+            a = (jnp.sum(shifted * n, axis=-1) + 1.0) / 2.0
+        else:
+            a = 1.0 - jnp.sum((shifted - n) ** 2, axis=-1) / 4.0
+        chans.append(jnp.clip(a, 0.0, 1.0))
+    return jnp.stack(chans, axis=1)
+
+
+def embedding_loss_orthogonal(embedding_bhwc, target_bkhw, weight_bkhw,
+                              mask_bkhw, criterion, offsets,
+                              affs0_weight: float = 1.0, mode: str = "cos"):
+    """Orthogonal-variant training loss (loss_embedding_orthogonal.py:22-37):
+    per-offset criterion(affs*mask, target*mask, weight), offsets 0-1
+    scaled by affs0_weight."""
+    affs = orthogonal_affinity_2d(embedding_bhwc, offsets, mode=mode)
+    mask = mask_bkhw.astype(affs.dtype)
+    loss = 0.0
+    for i in range(len(offsets)):
+        li = criterion(affs[:, i] * mask[:, i],
+                       target_bkhw[:, i] * mask[:, i], weight_bkhw[:, i])
+        loss = loss + (li * affs0_weight if i < 2 else li)
+    return loss, affs
