@@ -121,23 +121,36 @@ class _BlockW:
                                  * scale, shift)
 
         if s2d is False or s2d == "dense":
-            self.w = {}
-            for conv_name in ("conv1", "conv2", "project_conv"):
-                w, shift = folded[conv_name]
+            # conv1 and project share the block input: run them as ONE
+            # conv with output channels [conv1-block | project-block]
+            # (s2d kernels concatenated AFTER the block-space transform,
+            # so each half stays channel-contiguous for slicing)
+            w1, h1 = folded["conv1"]
+            wp, hp = folded["project_conv"]
+            w2, h2 = folded["conv2"]
+            self.c1 = w1.shape[3]
+
+            def prep(wpart):
                 if s2d == "dense":
-                    shift = jnp.tile(shift, 4)
-                shift = shift.astype(dtype)
+                    wpart = s2d_conv_weights(wpart)
+                return wpart.astype(dtype)
 
-                def prep(wpart):
-                    if s2d == "dense":
-                        wpart = s2d_conv_weights(wpart)
-                    return wpart.astype(dtype)
+            def prep1p(wa, wb):
+                return jnp.concatenate([prep(wa), prep(wb)], axis=3)
 
-                if split_at is not None and conv_name != "conv2":
-                    self.w[conv_name] = ((prep(w[:, :, :split_at]),
-                                          prep(w[:, :, split_at:])), shift)
-                else:
-                    self.w[conv_name] = (prep(w), shift)
+            if s2d == "dense":
+                h1 = jnp.tile(h1, 4)
+                hp = jnp.tile(hp, 4)
+                h2 = jnp.tile(h2, 4)
+            if split_at is not None:
+                self.w1p = (prep1p(w1[:, :, :split_at], wp[:, :, :split_at]),
+                            prep1p(w1[:, :, split_at:], wp[:, :, split_at:]))
+            else:
+                self.w1p = prep1p(w1, wp)
+            self.h1p_ = jnp.concatenate([h1, hp]).astype(dtype)
+            self.w2 = prep(w2)
+            self.h2_ = h2.astype(dtype)
+            self.n1 = (4 if s2d == "dense" else 1) * self.c1
             return
 
         # s2d 2x2 parity form (ops/s2d.py::s2d_conv2x2_weights_qx): conv1
@@ -214,12 +227,10 @@ class _BlockW:
                                    tile_h=tile_h, interpret=self.interpret)
         if self.s2d == "2x2":
             return self._call_s2d(x)
-        w1, h1 = self.w["conv1"]
-        y = jax.nn.relu(self._in_conv(x, w1) + h1)
-        w2, h2 = self.w["conv2"]
-        y = _conv(y, w2) + h2
-        wp, hp = self.w["project_conv"]
-        proj = self._in_conv(x, wp) + hp
+        v = self._in_conv(x, self.w1p) + self.h1p_
+        y = jax.nn.relu(v[..., :self.n1])
+        proj = v[..., self.n1:]
+        y = _conv(y, self.w2) + self.h2_
         return jax.nn.relu(y + proj)
 
     def _call_s2d(self, x):
