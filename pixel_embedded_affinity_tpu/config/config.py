@@ -22,6 +22,9 @@ class ModelConfig:
     filters: tuple = (16, 32, 64, 128, 256)
     merge_mode: str = "add"
     dtype: str = "float32"  # or bfloat16 compute
+    # s2d training graph for resunet2d_deep (models/resunet2d_s2d.py):
+    # exact math, same checkpoint tree, faster fwd+bwd on TPU
+    s2d_train: bool = True
 
 
 @dataclass

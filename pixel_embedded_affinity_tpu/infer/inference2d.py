@@ -30,8 +30,15 @@ def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None
     import jax
 
     from ..train.loop import build_model
+    import copy
 
-    model = build_model(cfg)
+    # inference never trains, so always use the direct graph here (the
+    # s2d training twin shares the exact parameter tree; the fast path
+    # below covers TPU speed, and the direct module compiles much faster
+    # on CPU)
+    cfg_inf = copy.deepcopy(cfg)
+    cfg_inf.model.s2d_train = False
+    model = build_model(cfg_inf)
     offsets = multi_offset(list(cfg.data.shifts), neighbor=cfg.data.neighbor)
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"

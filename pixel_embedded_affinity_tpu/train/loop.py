@@ -36,6 +36,12 @@ def build_model(cfg: Config):
 
     dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
     if cfg.model.arch == "resunet2d_deep":
+        if getattr(cfg.model, "s2d_train", False):
+            from ..models.resunet2d_s2d import ResidualUNet2DDeepS2D
+
+            return ResidualUNet2DDeepS2D(out_channels=cfg.model.output_nc,
+                                         nfeatures=tuple(cfg.model.filters),
+                                         emd=cfg.model.emd, dtype=dtype)
         return ResidualUNet2DDeep(out_channels=cfg.model.output_nc,
                                   nfeatures=tuple(cfg.model.filters),
                                   emd=cfg.model.emd, dtype=dtype)
