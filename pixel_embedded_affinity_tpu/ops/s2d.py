@@ -118,16 +118,18 @@ def s2d_conv2x2_slices(v: jnp.ndarray, cout: int) -> jnp.ndarray:
 
 
 def s2d_conv_weights(w: jnp.ndarray) -> jnp.ndarray:
-    """(3, 3, Cin, Cout) -> (3, 3, 4*Cin, 4*Cout) s2d-space kernel.
+    """(K, K, Cin, Cout) -> (3, 3, 4*Cin, 4*Cout) s2d-space kernel for
+    K in {3, 5} (a 5-tap window still spans <= 3 blocks per axis).
 
     Traceable: assembled from slices of a zero-padded copy of w via a
     constant gather, so it can sit inside a jit (weights-only, hoisted)."""
     kh, kw, cin, cout = w.shape
-    assert kh == 3 and kw == 3
+    assert kh == kw and kh in (3, 5), (kh, kw)
+    half = kh // 2
 
     def tap(by, py, qy):
         dy = 2 * (by - 1) + py - qy
-        return dy + 1 if -1 <= dy <= 1 else None
+        return dy + half if -half <= dy <= half else None
 
     zero = jnp.zeros((cin, cout), w.dtype)
     rows = []

@@ -46,6 +46,10 @@ def build_model(cfg: Config):
                                   nfeatures=tuple(cfg.model.filters),
                                   emd=cfg.model.emd, dtype=dtype)
     if cfg.model.arch == "unet_pni_deep":
+        # NOTE: an xy-s2d twin exists (models/unet3d_pni_s2d.py) but
+        # measured 2.7x SLOWER on chip (907 vs 335 ms/step): under remat,
+        # the 4x-FLOP block kernels cost more than the C28->C112 lane-
+        # padding win saves. s2d_train therefore only affects the 2D arch.
         return UNetPNIEmbeddingDeep(filters=tuple(cfg.model.filters),
                                     emd=cfg.model.emd, dtype=dtype,
                                     remat=True)
