@@ -37,6 +37,19 @@ def run_inference_3d(cfg: Config, variables, volume: np.ndarray,
     model = build_model(cfg)
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
+    if (use_pallas and cfg.model.arch == "unet_pni_deep"
+            and crop_size[1] % 16 == 0 and crop_size[2] % 16 == 0):
+        # eval-only forward: the xy-s2d twin shares the parameter tree and
+        # runs the tile forward ~1.6x faster on chip (81 -> 51 ms at B=4
+        # f32; docs/PERF.md). Training keeps the direct graph (the twin
+        # loses under rematerialization).
+        from ..models.unet3d_pni_s2d import UNetPNIEmbeddingDeepS2D
+        import jax.numpy as jnp
+
+        dtype = (jnp.bfloat16 if cfg.model.dtype == "bfloat16"
+                 else jnp.float32)
+        model = UNetPNIEmbeddingDeepS2D(filters=tuple(cfg.model.filters),
+                                        emd=cfg.model.emd, dtype=dtype)
 
     @jax.jit
     def predict(tiles):  # (B, d, h, w, 1) -> (B, 12, d, h, w)
