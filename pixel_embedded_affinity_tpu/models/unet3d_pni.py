@@ -84,15 +84,24 @@ class UNetPNIEmbeddingDeep(nn.Module):
     bn_momentum_flax: float = 0.999  # torch momentum 0.001
     dtype: jnp.dtype = jnp.float32
     remat: bool = False  # block-granular rematerialization (training memory)
+    # with remat on, blocks NOT in this set keep their activations (their
+    # tensors are small at low resolution; storing them skips the
+    # backward recompute). None = remat every block.
+    remat_skip: tuple = ()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         f2 = [self.filters[0]] + list(self.filters)
         mom = self.bn_momentum_flax
-        # checkpoint each residual block: only one block's activations are
-        # live during backward (the dual-view 3D step needs ~22 GB otherwise)
-        ResBlockPNI_ = (nn.remat(ResBlockPNI, static_argnums=(2,))
-                        if self.remat else ResBlockPNI)
+        # checkpoint residual blocks: only one block's activations are
+        # live during backward (the dual-view 3D step needs ~22 GB
+        # without any remat)
+        remat_blk = nn.remat(ResBlockPNI, static_argnums=(2,))
+
+        def ResBlockPNI_(feat, mom_, dt, name):
+            if self.remat and name not in self.remat_skip:
+                return remat_blk(feat, mom_, dt, name=name)
+            return ResBlockPNI(feat, mom_, dt, name=name)
 
         def pool(v):
             return nn.max_pool(v, (1, 2, 2), strides=(1, 2, 2))
