@@ -40,6 +40,7 @@ def test_train_cvppp_2d_e2e(cvppp_data):
     })
     cfg.model.filters = (8, 12, 16, 24, 32)
     cfg.model.s2d_train = False  # CPU-compile speed; s2d graph covered by test_resunet_s2d
+    cfg.data.device_gt = False  # host-GT loop variant; device-GT parity covered by test_device_gt
 
     state, history = train(cfg, max_iters=6)
     assert int(state.step) == 6
@@ -77,6 +78,7 @@ def test_resume_restores_optimizer_state(cvppp_data):
     cfg = load_config("cvppp", overrides=ov)
     cfg.model.filters = (8, 12, 16, 24, 32)
     cfg.model.s2d_train = False  # CPU-compile speed; s2d graph covered by test_resunet_s2d
+    cfg.data.device_gt = False  # host-GT loop variant; device-GT parity covered by test_device_gt
     state, _ = train(cfg, max_iters=4)
 
     cfg2 = load_config("cvppp", overrides={**ov, "train": {**ov["train"],
@@ -117,6 +119,7 @@ def test_checkpoint_roundtrip_step_exact(cvppp_data):
         "data": {"data_folder": cvppp_data, "size": 128}})
     cfg.model.filters = (8, 12, 16, 24, 32)
     cfg.model.s2d_train = False  # CPU-compile speed; s2d graph covered by test_resunet_s2d
+    cfg.data.device_gt = False  # host-GT loop variant; device-GT parity covered by test_device_gt
     ds = CVPPPTrain(cvppp_data, size=128, shifts=(1, 3, 5, 9, 27), seed=3)
     provider = Provider(ds, batch_size=2, num_workers=1, seed=3)
     batch = provider.next()
