@@ -76,9 +76,9 @@ class DataConfig:
     # generate GT targets on device: the host ships only image/ema_image/
     # int-seg/rules (~12x less transfer) and affinities/weights/pyramids
     # are built in-jit (exact-parity tested). Measured 0.53 vs 2.3+
-    # s/iter wall on the tunneled chip. Default ON for the cvppp preset
-    # (the light loader + padding semantics are wired there); off
-    # elsewhere until the BBBC light path carries its padding variant.
+    # s/iter wall on the tunneled chip. Default ON for the cvppp and
+    # bbbc039v1 presets (both use padding=True + per-channel weights,
+    # matching build_targets_2d_jax); 3D pipelines ignore it.
     device_gt: bool = False
     # 3D
     dataset_name: str = "ac4"
@@ -133,7 +133,8 @@ PRESETS: dict[str, dict[str, Any]] = {
         "train": {"mask_weight": 1000.0, "lr_mode": "fixed",
                   "base_lr": 1e-4, "batch_size": 2},
         "data": {"dataset": "bbbc039v1", "size": 256,
-                 "shifts": (1, 3, 5, 9, 11), "strides": (10, 10)},
+                 "shifts": (1, 3, 5, 9, 11), "strides": (10, 10),
+                 "device_gt": True},
     },
     # scripts_ac3ac4/config/ac3ac4.yaml parity
     "ac3ac4": {

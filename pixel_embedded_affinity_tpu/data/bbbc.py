@@ -32,7 +32,9 @@ class BBBCTrain:
                  separate_weight: bool = True, mode: str = "train",
                  aug_prob: float = 0.8,
                  ema_intensity: bool = True, ema_mask: bool = True,
-                 ema_flip: bool = True, seed: int = 555):
+                 ema_flip: bool = True, light: bool = False,
+                 seed: int = 555):
+        self.light = light  # emit only image/ema_image/seg/rules (device GT)
         self.data_folder = data_folder
         self.dir_img = os.path.join(data_folder, "images")
         self.dir_lb = os.path.join(data_folder, "masks_instance")
@@ -96,6 +98,25 @@ class BBBCTrain:
         label = center_crop_pad(label, self.size, self.size)
 
         image = np.repeat(img[..., None], 3, axis=-1).astype(np.float32)
+
+        if self.light:
+            # device-GT mode: ship only image/ema view/int labels/rules;
+            # affinity targets are built in-jit (same padding=True and
+            # per-channel weight semantics — tests/test_device_gt.py)
+            ema = image.copy()
+            if self.ema_intensity:
+                ema = C.add_intensity(ema, rng)
+            if self.ema_mask:
+                fg = (label != 0).astype(np.uint8)
+                ema = C.add_mask(ema, fg, rng)
+            if self.ema_flip:
+                rule = C.flip_ema_rule(rng)
+                ema = C.simple_augment(ema, rule.astype(np.uint8))
+            else:
+                rule = np.zeros(3, np.float32)
+            return {"image": np.ascontiguousarray(image, np.float32),
+                    "ema_image": np.ascontiguousarray(ema, np.float32),
+                    "seg": label.astype(np.int32), "rules": rule}
 
         out = _build_bbbc_targets(image, label, self.offsets, self.nb_half,
                                   self.separate_weight, rng,

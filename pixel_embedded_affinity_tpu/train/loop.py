@@ -90,6 +90,7 @@ def build_dataset(cfg: Config):
         train = BBBCTrain(cfg.data.data_folder, size=cfg.data.size,
                           shifts=tuple(cfg.data.shifts),
                           neighbor=cfg.data.neighbor,
+                          light=cfg.data.device_gt,
                           seed=cfg.train.random_seed)
         valid = BBBCValidation(cfg.data.data_folder,
                                shifts=tuple(cfg.data.shifts),

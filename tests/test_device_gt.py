@@ -109,3 +109,33 @@ def test_train_step_device_gt_matches_host_gt():
     _, _, m_dev = step_dev(state, light)
     np.testing.assert_allclose(float(m_dev["loss"]), float(m_host["loss"]),
                                rtol=1e-5)
+
+
+def test_bbbc_targets_match_device_builder():
+    """BBBC's host GT (padding=True, per-channel weights) is bit-matched
+    by build_targets_2d_jax — the precondition for device_gt on the
+    bbbc039v1 preset."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pixel_embedded_affinity_tpu.data.bbbc import _build_bbbc_targets
+    from pixel_embedded_affinity_tpu.ops import multi_offset
+    from pixel_embedded_affinity_tpu.ops.affinity_jax import (
+        build_targets_2d_jax)
+
+    rng = np.random.default_rng(0)
+    label = np.zeros((64, 48), np.int32)
+    label[4:20, 6:22] = 1
+    label[28:60, 10:40] = 2
+    label[10:18, 30:44] = 3
+    offsets = multi_offset([1, 3, 5, 9, 11], neighbor=4)
+    image = rng.random((64, 48, 3)).astype(np.float32)
+    host = _build_bbbc_targets(image, label, offsets, 2, True, rng,
+                               False, False, False)
+    affs, wmap, mask, downs = build_targets_2d_jax(
+        jnp.asarray(label)[None], tuple(map(tuple, offsets)), neighbor=4)
+    np.testing.assert_allclose(np.asarray(affs)[0], host["affs"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(wmap)[0], host["wmap"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mask)[0], host["mask"], atol=1e-6)
+    for k, d in enumerate(downs):
+        np.testing.assert_allclose(np.asarray(d)[0], host[f"down{k+1}"],
+                                   atol=1e-5)
