@@ -30,6 +30,12 @@ class ModelConfig:
 @dataclass
 class TrainConfig:
     loss_func: str = "WeightedMSELoss"
+    # 'affinity' = embedding->affinity MSE only (reference default);
+    # 'discriminative' adds the pull/push/reg term on the final embedding
+    # (the paper's ResNet-50/101 training recipe, README.md:124-139 +
+    # scripts_cvppp/loss/loss_discriminative.py:7-63)
+    loss_mode: str = "affinity"
+    disc_weight: float = 1.0
     affs0_weight: float = 1.0
     deep_weight: int = 1
     self_emb: float = 1.0
@@ -80,6 +86,11 @@ class DataConfig:
     # bbbc039v1 presets (both use padding=True + per-channel weights,
     # matching build_targets_2d_jax); 3D pipelines ignore it.
     device_gt: bool = False
+    # generate the EMA view (intensity/cutout/flips) in-jit too: the host
+    # ships ONE image and no rules; halves image transfer and removes the
+    # per-sample host perturbation cost (data/device_aug.py). Applies to
+    # all three pipelines; requires device_gt for the 2D ones.
+    device_ema: bool = False
     # 3D
     dataset_name: str = "ac4"
     train_split: int = 80
@@ -123,7 +134,7 @@ PRESETS: dict[str, dict[str, Any]] = {
                   "base_lr": 1e-4, "batch_size": 2},
         "data": {"dataset": "cvppp", "size": 544,
                  "shifts": (1, 3, 5, 9, 27), "strides": (5, 5),
-                 "device_gt": True},
+                 "device_gt": True, "device_ema": True},
     },
     # scripts_bbbc039v1/config/bbbc039v1.yaml parity
     "bbbc039v1": {
@@ -134,6 +145,28 @@ PRESETS: dict[str, dict[str, Any]] = {
                   "base_lr": 1e-4, "batch_size": 2},
         "data": {"dataset": "bbbc039v1", "size": 256,
                  "shifts": (1, 3, 5, 9, 11), "strides": (10, 10),
+                 "device_gt": True, "device_ema": True},
+    },
+    # paper ResNet-50/101 variants (BASELINE configs 3/4): CVPPP training
+    # with discriminative + affinity loss on the ResNet embedding nets
+    "cvppp_resnet50": {
+        "name": "cvppp_resnet50",
+        "model": {"arch": "resnet50_embedding", "input_nc": 3,
+                  "output_nc": 2},
+        "train": {"loss_mode": "discriminative", "disc_weight": 1.0,
+                  "lr_mode": "fixed", "base_lr": 1e-4, "batch_size": 2},
+        "data": {"dataset": "cvppp", "size": 544,
+                 "shifts": (1, 3, 5, 9, 27), "strides": (5, 5),
+                 "device_gt": True},
+    },
+    "cvppp_resnet101": {
+        "name": "cvppp_resnet101",
+        "model": {"arch": "resnet101_embedding", "input_nc": 3,
+                  "output_nc": 2},
+        "train": {"loss_mode": "discriminative", "disc_weight": 1.0,
+                  "lr_mode": "fixed", "base_lr": 1e-4, "batch_size": 2},
+        "data": {"dataset": "cvppp", "size": 544,
+                 "shifts": (1, 3, 5, 9, 27), "strides": (5, 5),
                  "device_gt": True},
     },
     # scripts_ac3ac4/config/ac3ac4.yaml parity
@@ -145,7 +178,7 @@ PRESETS: dict[str, dict[str, Any]] = {
                   "batch_size": 2},
         "data": {"dataset": "ac3ac4", "dataset_name": "ac4",
                  "train_split": 80, "crop_size": (18, 160, 160),
-                 "padding_3d": 50},
+                 "padding_3d": 50, "device_gt": True, "device_ema": True},
     },
 }
 

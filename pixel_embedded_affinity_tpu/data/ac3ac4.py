@@ -142,8 +142,15 @@ class AC3AC4Train:
                  aug_prob: float = 0.5,
                  ema_intensity: bool = True, ema_mask: bool = True,
                  ema_flip: bool = True, seed: int = 555,
+                 light: bool = False, device_ema: bool = False,
                  arrays: tuple[np.ndarray, np.ndarray] | None = None):
-        """``arrays=(raw, labels)`` bypasses HDF5 loading (tests/synthetic)."""
+        """``arrays=(raw, labels)`` bypasses HDF5 loading (tests/synthetic).
+
+        ``light``: ship only image(+ema)/seg — the 12-ch affinities, weights
+        and pyramid targets are built in-jit (train_step_3d device_gt).
+        ``device_ema`` (implies light semantics for the EMA view): skip the
+        host EMA view/rules too — generated in-jit (device_aug.ema_view_3d).
+        """
         import h5py
 
         self.crop_size = list(crop_size)
@@ -152,6 +159,8 @@ class AC3AC4Train:
         self.ema_intensity = ema_intensity
         self.ema_mask = ema_mask
         self.ema_flip = ema_flip
+        self.light = light
+        self.device_ema = device_ema
         self.rng = np.random.default_rng(seed)
 
         if arrays is not None:
@@ -199,6 +208,13 @@ class AC3AC4Train:
         imgs = _center_crop_3d(imgs, self.crop_size)
         lb = _center_crop_3d(lb, self.crop_size)
 
+        if self.light:
+            out = {"image": np.ascontiguousarray(imgs, np.float32)[..., None],
+                   "seg": lb.astype(np.int32)}
+            if not self.device_ema:
+                out["ema_image"], out["rules"] = self._ema_view(imgs, rng)
+            return out
+
         pyr = label_pyramid(lb, num_levels=4)
         affs = seg_to_aff_3d_12ch(lb).astype(np.float32)
         downs = []
@@ -208,6 +224,19 @@ class AC3AC4Train:
             downs.append(np.concatenate([a, w], axis=0))
         wmap = np.stack([weight_binary_ratio(affs[i]) for i in range(12)])
 
+        ema, rule = self._ema_view(imgs, rng)
+
+        return {
+            "image": np.ascontiguousarray(imgs, np.float32)[..., None],
+            "ema_image": ema,
+            "affs": affs, "wmap": wmap,
+            "seg": lb.astype(np.int32),
+            "down1": downs[0], "down2": downs[1],
+            "down3": downs[2], "down4": downs[3],
+            "rules": rule,
+        }
+
+    def _ema_view(self, imgs, rng):
         ema = imgs.copy()
         if self.ema_intensity:
             ema = intensity_augment_3d(ema, rng)
@@ -218,16 +247,7 @@ class AC3AC4Train:
             ema = simple_augment_3d(ema, rule.astype(np.uint8))
         else:
             rule = np.zeros(4, np.float32)
-
-        return {
-            "image": np.ascontiguousarray(imgs, np.float32)[..., None],
-            "ema_image": np.ascontiguousarray(ema, np.float32)[..., None],
-            "affs": affs, "wmap": wmap,
-            "seg": lb.astype(np.int32),
-            "down1": downs[0], "down2": downs[1],
-            "down3": downs[2], "down4": downs[3],
-            "rules": rule,
-        }
+        return np.ascontiguousarray(ema, np.float32)[..., None], rule
 
     def _augs_mix(self, imgs, lb, rng):
         import cv2

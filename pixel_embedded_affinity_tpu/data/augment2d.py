@@ -66,6 +66,27 @@ def random_rotate90(img, label, rng):
     return np.rot90(img, k).copy(), np.rot90(label, k).copy()
 
 
+def random_rotate(img, label, rng):
+    """Continuous rotation by rand()*360 degrees about the center
+    (scripts_bbbc039v1/augmentation/rotation.py:40-57 parity:
+    cv2.getRotationMatrix2D, image bilinear, label nearest, constant
+    border). The caller's pre-crop margin absorbs the invalid corners,
+    exactly like the reference's sqrt(2) sample ratio."""
+    import cv2
+
+    h, w = label.shape[:2]
+    ang = float(rng.random()) * 360.0
+    m = cv2.getRotationMatrix2D((h / 2, w / 2), ang, 1)
+    img_o = cv2.warpAffine(img, m, (h, w), 1.0, flags=cv2.INTER_LINEAR,
+                           borderMode=cv2.BORDER_CONSTANT)
+    lab_o = cv2.warpAffine(label.astype(np.float32), m, (h, w), 1.0,
+                           flags=cv2.INTER_NEAREST,
+                           borderMode=cv2.BORDER_CONSTANT)
+    if img_o.ndim == 2 and img.ndim == 3:
+        img_o = img_o[..., None]
+    return img_o, lab_o.astype(label.dtype)
+
+
 def random_rescale(img, label, rng, lo=0.8, hi=1.2):
     """Rescale then center-crop/pad back to the original size."""
     import cv2

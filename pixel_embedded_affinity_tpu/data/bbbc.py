@@ -16,7 +16,7 @@ import numpy as np
 from ..ops import gen_affs, multi_offset, weight_binary_ratio, label_pyramid
 from . import consistency as C
 from .augment2d import (
-    random_flips, random_rotate90, random_rescale, elastic_deform,
+    random_flips, random_rotate, random_rescale, elastic_deform,
     random_grayscale_adjust, center_crop_pad,
 )
 
@@ -33,8 +33,10 @@ class BBBCTrain:
                  aug_prob: float = 0.8,
                  ema_intensity: bool = True, ema_mask: bool = True,
                  ema_flip: bool = True, light: bool = False,
-                 seed: int = 555):
+                 device_ema: bool = False, seed: int = 555):
         self.light = light  # emit only image/ema_image/seg/rules (device GT)
+        # device_ema: in light mode, skip the host EMA view/rules too
+        self.device_ema = device_ema
         self.data_folder = data_folder
         self.dir_img = os.path.join(data_folder, "images")
         self.dir_lb = os.path.join(data_folder, "masks_instance")
@@ -87,7 +89,9 @@ class BBBCTrain:
             if rng.random() > 0.5:
                 img, label = random_flips(img, label, rng)
             if rng.random() > 0.5:
-                img, label = random_rotate90(img, label, rng)
+                # arbitrary-angle rotation (rotation.py:45: rand()*360);
+                # the 2*pad crop margin absorbs the blank corners
+                img, label = random_rotate(img, label, rng)
             if rng.random() < 0.5:
                 img, label = random_rescale(img, label, rng)
             if rng.random() < 0.75:
@@ -103,6 +107,9 @@ class BBBCTrain:
             # device-GT mode: ship only image/ema view/int labels/rules;
             # affinity targets are built in-jit (same padding=True and
             # per-channel weight semantics — tests/test_device_gt.py)
+            if self.device_ema:
+                return {"image": np.ascontiguousarray(image, np.float32),
+                        "seg": label.astype(np.int32)}
             ema = image.copy()
             if self.ema_intensity:
                 ema = C.add_intensity(ema, rng)

@@ -34,10 +34,13 @@ class CVPPPTrain:
                  ema_noise: bool = False, ema_blur: bool = False,
                  ema_intensity: bool = True, ema_mask: bool = True,
                  ema_flip: bool = True, light: bool = False,
-                 seed: int = 555):
+                 device_ema: bool = False, seed: int = 555):
         self.data_folder = data_folder
         self.aug_mode = aug_mode
         self.light = light  # emit only image/ema_image/seg/rules (device GT)
+        # device_ema: in light mode, skip the host EMA view/rules too --
+        # generated in-jit by the train step (data/device_aug.ema_view_2d)
+        self.device_ema = device_ema
         self.size = size
         self.offsets = multi_offset(list(shifts), neighbor=neighbor)
         self.nb_half = neighbor // 2
@@ -101,6 +104,9 @@ class CVPPPTrain:
         image = C.normalize_imagenet(img)
 
         if self.light:
+            if self.device_ema:
+                return {"image": np.ascontiguousarray(image, np.float32),
+                        "seg": label.astype(np.int32)}
             return build_cvppp_light(image, label, rng,
                                      ema_noise=self.ema_noise,
                                      ema_blur=self.ema_blur,

@@ -1,0 +1,209 @@
+"""Device-side (in-jit) EMA-view generation.
+
+The reference builds the perturbed EMA view on the host per sample
+(scripts_cvppp/data/data_provider.py:241-261, scripts_ac3ac4/data/
+data_provider_labeled_deep.py:276-316) and ships a second full image per
+batch. On a 1-core host feeding a TPU through a tunnel that is both CPU
+time and 2x the image transfer. Everything the EMA view needs is
+elementwise math + a handful of random scalars, so this module generates it
+INSIDE the train jit from the clean image and a PRNG key folded with the
+step counter: the host ships one image, no EMA view, no rules.
+
+Semantics parity (distribution-level, behavior-tested):
+* intensity: ~ utils/consistency_aug.py add_intensity (2D: contrast/
+  brightness +-0.05) and scripts_ac3ac4 IntensityAugment 'mix' (3D:
+  contrast 0.7-1.3, brightness +-0.15, gamma 0.7-1.4, per-slice or whole)
+* cutout:   ~ add_mask (2D: 0-20 squares <=20px inside the FG bbox filled
+  with the per-channel FG mean) and gen_mask (3D: 0-60 boxes <=7x20x20
+  zero-filled)
+* flips:    ~ Filp_EMA rules (2D 3-bit: x, y, transpose; 3D 4-bit:
+  z, x, y, transpose), exactly inverted by
+  consistency.convert_consistency_flip_jax* in the train step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# 2D (CVPPP / BBBC): image (B, H, W, C) in [0, 1]
+# ---------------------------------------------------------------------------
+
+
+def add_intensity_2d(img, key, contrast_factor=0.1, brightness_factor=0.1):
+    """out = clip(img * (1 + (u-0.5)*cf) + (v-0.5)*bf) per sample."""
+    b = img.shape[0]
+    ku, kv = jax.random.split(key)
+    u = jax.random.uniform(ku, (b, 1, 1, 1), img.dtype)
+    v = jax.random.uniform(kv, (b, 1, 1, 1), img.dtype)
+    out = img * (1 + (u - 0.5) * contrast_factor)
+    out = out + (v - 0.5) * brightness_factor
+    return jnp.clip(out, 0, 1)
+
+
+def add_mask_2d(img, fg_bhw, key, max_counts=20, max_size=20):
+    """Fill `counts` random size^2 squares inside the FG bbox with the
+    per-channel FG mean (consistency_aug.py:75-90 semantics)."""
+    b, h, w, c = img.shape
+    fg = fg_bhw.astype(img.dtype)
+    any_row = jnp.any(fg_bhw > 0, axis=2)  # (B, H)
+    any_col = jnp.any(fg_bhw > 0, axis=1)  # (B, W)
+    has_fg = jnp.any(any_row, axis=1)
+    x0 = jnp.argmax(any_row, axis=1)
+    x1 = h - 1 - jnp.argmax(any_row[:, ::-1], axis=1)
+    y0 = jnp.argmax(any_col, axis=1)
+    y1 = w - 1 - jnp.argmax(any_col[:, ::-1], axis=1)
+
+    kc, ks, ky, kx = jax.random.split(key, 4)
+    counts = jax.random.randint(kc, (b,), 0, max_counts + 1)
+    size = jax.random.randint(ks, (b,), 0, max_size + 1)
+    # reference gate: squares only when x1 - size > x0 and y1 - size > y0
+    can = (x1 - size > x0) & (y1 - size > y0) & has_fg
+    my = jax.random.randint(ky, (b, max_counts), x0[:, None],
+                            jnp.maximum(x1 - size, x0 + 1)[:, None])
+    mx = jax.random.randint(kx, (b, max_counts), y0[:, None],
+                            jnp.maximum(y1 - size, y0 + 1)[:, None])
+    active = (jnp.arange(max_counts)[None] < counts[:, None]) & can[:, None]
+
+    def body(i, m):
+        yy = jnp.arange(h)[None, :, None]
+        xx = jnp.arange(w)[None, None, :]
+        inside = ((yy >= my[:, i][:, None, None])
+                  & (yy < (my[:, i] + size)[:, None, None])
+                  & (xx >= mx[:, i][:, None, None])
+                  & (xx < (mx[:, i] + size)[:, None, None]))
+        inside = inside & active[:, i][:, None, None]
+        return jnp.where(inside, jnp.zeros_like(m), m)
+
+    mask = jax.lax.fori_loop(0, max_counts, body,
+                             jnp.ones((b, h, w), img.dtype))
+    denom = jnp.maximum(fg.sum(axis=(1, 2)), 1.0)
+    means = (img * fg[..., None]).sum(axis=(1, 2)) / denom[:, None]  # (B, C)
+    m = mask[..., None]
+    return img * m + (1 - m) * means[:, None, None, :]
+
+
+def flip_2d(img, rules_b3):
+    """Forward 3-bit flip (x, y, transpose) on NHWC; H == W for rule 2.
+    Inverse of consistency.convert_consistency_flip_jax."""
+    r = rules_b3.astype(bool)
+    e = img
+    e = jnp.where(r[:, 0][:, None, None, None], e[:, :, ::-1], e)
+    e = jnp.where(r[:, 1][:, None, None, None], e[:, ::-1], e)
+    et = jnp.transpose(e, (0, 2, 1, 3))
+    e = jnp.where(r[:, 2][:, None, None, None], et, e)
+    return e
+
+
+def ema_view_2d(img, fg_bhw, key, *, intensity=True, mask=True, flip=True):
+    """Clean [0,1] image -> (ema_image, rules). One call inside the train
+    jit replaces the host EMA pipeline + its transfer."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    ema = img
+    if intensity:
+        ema = add_intensity_2d(ema, k1)
+    if mask:
+        ema = add_mask_2d(ema, fg_bhw, k2)
+    if flip:
+        rules = jax.random.bernoulli(k3, 0.5, (img.shape[0], 3)).astype(
+            jnp.float32)
+        ema = flip_2d(ema, rules)
+    else:
+        rules = jnp.zeros((img.shape[0], 3), jnp.float32)
+    return ema, rules
+
+
+# ---------------------------------------------------------------------------
+# 3D (AC3/AC4): image (B, D, H, W, 1) in [0, 1]
+# ---------------------------------------------------------------------------
+
+
+def intensity_3d(img, key, contrast=(0.7, 1.3), brightness=(-0.15, 0.15),
+                 gamma=(0.7, 1.4)):
+    """IntensityAugment 'mix': per sample, 50% per-slice params (2D mode)
+    else one whole-volume set (3D mode); clip -> gamma -> clip."""
+    b, d = img.shape[0], img.shape[1]
+    km, kc, kb, kg, kc3, kb3, kg3 = jax.random.split(key, 7)
+    mode2d = jax.random.bernoulli(km, 0.5, (b, 1, 1, 1, 1))
+    shape2d, shape3d = (b, d, 1, 1, 1), (b, 1, 1, 1, 1)
+
+    def draw(k, rng_shape, lo, hi):
+        return jax.random.uniform(k, rng_shape, img.dtype, lo, hi)
+
+    c = jnp.where(mode2d, draw(kc, shape2d, *contrast),
+                  draw(kc3, shape3d, *contrast))
+    br = jnp.where(mode2d, draw(kb, shape2d, *brightness),
+                   draw(kb3, shape3d, *brightness))
+    g = jnp.where(mode2d, draw(kg, shape2d, *gamma),
+                  draw(kg3, shape3d, *gamma))
+    out = jnp.clip(img * c + br, 0, 1)
+    out = jnp.clip(out ** g, 0, 1)
+    return out
+
+
+def cutout_3d(img, key, max_counts=60, min_size=(5, 10, 10),
+              max_size=(10, 20, 20)):
+    """gen_mask semantics: counts ~ U{0..60} boxes, ONE (sz, sxy) size pair
+    per sample, boxes zero the image."""
+    b, d, h, w = img.shape[:4]
+    kc, kz, ks, kmz, kmy, kmx = jax.random.split(key, 6)
+    counts = jax.random.randint(kc, (b,), 0, max_counts + 1)
+    sz = jax.random.randint(kz, (b,), min_size[0], max_size[0] + 1)
+    sxy = jax.random.randint(ks, (b,), min_size[1], max_size[1] + 1)
+    mz = jax.random.randint(kmz, (b, max_counts), 0,
+                            jnp.maximum(d - sz, 1)[:, None])
+    my = jax.random.randint(kmy, (b, max_counts), 0,
+                            jnp.maximum(h - sxy, 1)[:, None])
+    mx = jax.random.randint(kmx, (b, max_counts), 0,
+                            jnp.maximum(w - sxy, 1)[:, None])
+    active = jnp.arange(max_counts)[None] < counts[:, None]
+
+    zz = jnp.arange(d)[None, :, None, None]
+    yy = jnp.arange(h)[None, None, :, None]
+    xx = jnp.arange(w)[None, None, None, :]
+
+    def body(i, m):
+        inside = ((zz >= mz[:, i][:, None, None, None])
+                  & (zz < (mz[:, i] + sz)[:, None, None, None])
+                  & (yy >= my[:, i][:, None, None, None])
+                  & (yy < (my[:, i] + sxy)[:, None, None, None])
+                  & (xx >= mx[:, i][:, None, None, None])
+                  & (xx < (mx[:, i] + sxy)[:, None, None, None]))
+        inside = inside & active[:, i][:, None, None, None]
+        return jnp.where(inside, jnp.zeros_like(m), m)
+
+    mask = jax.lax.fori_loop(0, max_counts, body,
+                             jnp.ones((b, d, h, w), img.dtype))
+    return img * mask[..., None]
+
+
+def flip_3d_rule4(img, rules_b4):
+    """Forward 4-bit flip (z, x, y, transpose) on NDHWC; H == W for bit 3.
+    Inverse of ac3ac4.convert_consistency_flip_jax_3d_rule4."""
+    r = rules_b4.astype(bool)
+    e = img
+    e = jnp.where(r[:, 0][:, None, None, None, None], e[:, ::-1], e)
+    e = jnp.where(r[:, 1][:, None, None, None, None], e[:, :, :, ::-1], e)
+    e = jnp.where(r[:, 2][:, None, None, None, None], e[:, :, ::-1], e)
+    et = jnp.transpose(e, (0, 1, 3, 2, 4))
+    e = jnp.where(r[:, 3][:, None, None, None, None], et, e)
+    return e
+
+
+def ema_view_3d(img, key, *, intensity=True, mask=True, flip=True):
+    """Clean [0,1] volume -> (ema_image, rules_b4), all in-jit."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    ema = img
+    if intensity:
+        ema = intensity_3d(ema, k1)
+    if mask:
+        ema = cutout_3d(ema, k2)
+    if flip:
+        rules = jax.random.bernoulli(k3, 0.5, (img.shape[0], 4)).astype(
+            jnp.float32)
+        ema = flip_3d_rule4(ema, rules)
+    else:
+        rules = jnp.zeros((img.shape[0], 4), jnp.float32)
+    return ema, rules

@@ -87,7 +87,15 @@ def device_prefetch(batches: Iterator[dict], sharding=None, depth: int = 2):
     buf = []
     it = iter(batches)
 
+    multiprocess = sharding is not None and jax.process_count() > 1
+
     def put(b):
+        if multiprocess:
+            # sharding spans non-addressable devices: assemble global
+            # arrays from the (identically-seeded) full local batch
+            from ..parallel.multihost import global_batch
+
+            return global_batch(b, sharding)
         if sharding is not None:
             return {k: jax.device_put(v, sharding) for k, v in b.items()}
         return {k: jax.device_put(v) for k, v in b.items()}

@@ -52,41 +52,46 @@ class _DepthwiseTranspose(nn.Module):
 class UNet3DMALADeep(nn.Module):
     emd: int = 16
     dtype: jnp.dtype = jnp.float32
+    # per-level channel widths; the reference hardcodes (12, 60, 300, 1500)
+    # (unet3d_mala.py:221-252). The knob exists so a tiny-geometry golden
+    # fixture can witness parity without torch (docs/gen_parity_fixtures.py).
+    widths: tuple = (12, 60, 300, 1500)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         conv = lambda f, k, name: nn.Conv(f, k, padding="VALID",
                                           dtype=self.dtype, name=name)
         pool = lambda v: nn.max_pool(v, (1, 3, 3), strides=(1, 3, 3))
+        n1, n2, n3, n4 = self.widths
 
-        c1 = _lrelu(conv(12, (3, 3, 3), "conv1")(x))
-        c2 = _lrelu(conv(12, (3, 3, 3), "conv2")(c1))
+        c1 = _lrelu(conv(n1, (3, 3, 3), "conv1")(x))
+        c2 = _lrelu(conv(n1, (3, 3, 3), "conv2")(c1))
         p1 = pool(c2)
-        c3 = _lrelu(conv(60, (3, 3, 3), "conv3")(p1))
-        c4 = _lrelu(conv(60, (3, 3, 3), "conv4")(c3))
+        c3 = _lrelu(conv(n2, (3, 3, 3), "conv3")(p1))
+        c4 = _lrelu(conv(n2, (3, 3, 3), "conv4")(c3))
         p2 = pool(c4)
-        c5 = _lrelu(conv(300, (3, 3, 3), "conv5")(p2))
-        c6 = _lrelu(conv(300, (3, 3, 3), "conv6")(c5))
+        c5 = _lrelu(conv(n3, (3, 3, 3), "conv5")(p2))
+        c6 = _lrelu(conv(n3, (3, 3, 3), "conv6")(c5))
         p3 = pool(c6)
-        c7 = _lrelu(conv(1500, (3, 3, 3), "conv7")(p3))
-        c8 = _lrelu(conv(1500, (3, 3, 3), "conv8")(c7))
+        c7 = _lrelu(conv(n4, (3, 3, 3), "conv7")(p3))
+        c8 = _lrelu(conv(n4, (3, 3, 3), "conv8")(c7))
 
-        d1 = _DepthwiseTranspose(1500, self.dtype, name="dconv1")(c8)
-        c9 = conv(300, (1, 1, 1), "conv9")(d1)
+        d1 = _DepthwiseTranspose(n4, self.dtype, name="dconv1")(c8)
+        c9 = conv(n3, (1, 1, 1), "conv9")(d1)
         m1 = _crop_concat(c9, c6)
-        c10 = _lrelu(conv(300, (3, 3, 3), "conv10")(m1))
-        c11 = _lrelu(conv(300, (3, 3, 3), "conv11")(c10))
+        c10 = _lrelu(conv(n3, (3, 3, 3), "conv10")(m1))
+        c11 = _lrelu(conv(n3, (3, 3, 3), "conv11")(c10))
 
-        d2 = _DepthwiseTranspose(300, self.dtype, name="dconv2")(c11)
-        c12 = conv(60, (1, 1, 1), "conv12")(d2)
+        d2 = _DepthwiseTranspose(n3, self.dtype, name="dconv2")(c11)
+        c12 = conv(n2, (1, 1, 1), "conv12")(d2)
         m2 = _crop_concat(c12, c4)
-        c13 = _lrelu(conv(60, (3, 3, 3), "conv13")(m2))
-        c14 = _lrelu(conv(60, (3, 3, 3), "conv14")(c13))
+        c13 = _lrelu(conv(n2, (3, 3, 3), "conv13")(m2))
+        c14 = _lrelu(conv(n2, (3, 3, 3), "conv14")(c13))
 
-        d3 = _DepthwiseTranspose(60, self.dtype, name="dconv3")(c14)
-        c15 = conv(12, (1, 1, 1), "conv15")(d3)
+        d3 = _DepthwiseTranspose(n2, self.dtype, name="dconv3")(c14)
+        c15 = conv(n1, (1, 1, 1), "conv15")(d3)
         m3 = _crop_concat(c15, c2)
-        c16 = _lrelu(conv(12, (3, 3, 3), "conv16")(m3))
-        c17 = _lrelu(conv(12, (3, 3, 3), "conv17")(c16))
+        c16 = _lrelu(conv(n1, (3, 3, 3), "conv16")(m3))
+        c17 = _lrelu(conv(n1, (3, 3, 3), "conv17")(c16))
 
         return conv(self.emd, (1, 1, 1), "conv18")(c17)

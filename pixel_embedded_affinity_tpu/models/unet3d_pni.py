@@ -99,7 +99,7 @@ class UNetPNIEmbeddingDeep(nn.Module):
         remat_blk = nn.remat(ResBlockPNI, static_argnums=(2,))
 
         def ResBlockPNI_(feat, mom_, dt, name):
-            if self.remat and name not in self.remat_skip:
+            if self.remat and name not in (self.remat_skip or ()):
                 return remat_blk(feat, mom_, dt, name=name)
             return ResBlockPNI(feat, mom_, dt, name=name)
 

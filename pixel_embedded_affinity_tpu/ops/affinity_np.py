@@ -344,7 +344,12 @@ def weight_unet2d(seg: np.ndarray, w0: float = 10.0,
 def weight_unet3d(seg: np.ndarray, w0: float = 10.0,
                   sigma: float = 5.0) -> np.ndarray:
     """Per-slice U-Net weight map over non-empty z slices
-    (data_segmentation.py:230-235)."""
+    (data_segmentation.py:230-235).
+
+    Deliberate deviation: returns float64 weights. The reference's
+    np.zeros_like(seg) truncates each slice's weights to seg's integer
+    dtype (a reference bug); that truncation is intentionally NOT
+    reproduced here."""
     out = np.zeros(seg.shape, np.float64)
     zid = np.where((seg > 0).max(axis=(1, 2)))[0]
     for z in zid:

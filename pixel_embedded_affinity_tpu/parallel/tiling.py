@@ -94,7 +94,8 @@ class TiledInference3D:
 
     def run_device_resident(self, volume: np.ndarray, predict_fn: Callable,
                             n_channels: int,
-                            progress: Callable | None = None) -> np.ndarray:
+                            progress: Callable | None = None,
+                            fetch: bool = True) -> np.ndarray:
         """Fully device-resident variant: the padded volume is uploaded to HBM
         ONCE; tile extraction, prediction, Gaussian weighting and canvas
         accumulation all run inside one jitted step with donated canvases.
@@ -151,6 +152,12 @@ class TiledInference3D:
             canvas, wmap = step(canvas, wmap, jnp.asarray(pb), vol_d)
             if progress is not None:
                 progress((i + 1) * bs, len(pos))
+        if not fetch:
+            # benchmarking/serving hook: leave the padded canvases in HBM
+            # (the caller reduces or consumes them on device; avoids the
+            # ~100s-of-MB canvas download where the link, not the chip,
+            # would dominate)
+            return canvas, wmap
         canvas = np.asarray(canvas)
         wmap = np.asarray(wmap)
         out = canvas / np.maximum(wmap[None], 1e-12)

@@ -78,6 +78,7 @@ def build_dataset(cfg: Config):
                            ema_mask=cfg.data.if_ema_mask,
                            ema_flip=cfg.data.if_ema_flip,
                            light=cfg.data.device_gt,
+                           device_ema=cfg.data.device_ema,
                            seed=cfg.train.random_seed)
         valid = CVPPPValidation(cfg.data.data_folder,
                                 shifts=tuple(cfg.data.shifts),
@@ -91,6 +92,7 @@ def build_dataset(cfg: Config):
                           shifts=tuple(cfg.data.shifts),
                           neighbor=cfg.data.neighbor,
                           light=cfg.data.device_gt,
+                          device_ema=cfg.data.device_ema,
                           seed=cfg.train.random_seed)
         valid = BBBCValidation(cfg.data.data_folder,
                                shifts=tuple(cfg.data.shifts),
@@ -104,6 +106,8 @@ def build_dataset(cfg: Config):
                             train_split=cfg.data.train_split,
                             crop_size=tuple(cfg.data.crop_size),
                             padding=cfg.data.padding_3d,
+                            light=cfg.data.device_gt,
+                            device_ema=cfg.data.device_ema,
                             seed=cfg.train.random_seed)
         valid = AC3AC4ValidVolume(cfg.data.data_folder,
                                   dataset_name=cfg.data.dataset_name,
@@ -309,7 +313,11 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
             model, tx, criterion=criterion,
             affs0_weight=cfg.train.affs0_weight,
             embedding_mode=cfg.train.embedding_mode,
-            use_pallas=cfg.train.use_pallas, interpret=interpret)
+            use_pallas=cfg.train.use_pallas, interpret=interpret,
+            device_gt=cfg.data.device_gt, device_ema=cfg.data.device_ema,
+            ema_seed=cfg.train.random_seed,
+            ema_intensity=cfg.data.if_ema_intensity,
+            ema_mask=cfg.data.if_ema_mask, ema_flip=cfg.data.if_ema_flip)
     else:
         step_fn = make_train_step_2d(
             model, tx, offsets, neighbor=cfg.data.neighbor,
@@ -317,7 +325,21 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
             deep_weight=cfg.train.deep_weight, self_emb=cfg.train.self_emb,
             cross_emb=cfg.train.cross_emb, mask_weight=cfg.train.mask_weight,
             ct_weight=cfg.train.ct_weight, use_pallas=cfg.train.use_pallas,
-            interpret=interpret, device_gt=cfg.data.device_gt)
+            interpret=interpret, device_gt=cfg.data.device_gt,
+            loss_mode=cfg.train.loss_mode, disc_weight=cfg.train.disc_weight,
+            device_ema=cfg.data.device_ema, ema_seed=cfg.train.random_seed,
+            ema_intensity=cfg.data.if_ema_intensity,
+            ema_mask=cfg.data.if_ema_mask, ema_flip=cfg.data.if_ema_flip,
+            imagenet_norm=(cfg.data.dataset == "cvppp"))
+
+    if jax.process_count() > 1:
+        # multi-host: the replicated state must become global arrays before
+        # the first jit call (plain numpy can't target non-addressable
+        # devices); every process holds identical values by construction
+        from ..parallel.multihost import to_global
+
+        state = jax.tree_util.tree_map(
+            lambda x: to_global(np.asarray(x), rsh), state)
 
     batch_shardings = {k: bsh for k in batch0}
     jit_step = jax.jit(step_fn,
@@ -400,7 +422,8 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
                 history.append({"step": it, **m})
         if it % cfg.train.save_freq == 0 or it == total_iters:
             _drain()
-            save_checkpoint(save_path, state, it)
+            if jax.process_index() == 0:  # single writer under multi-host
+                save_checkpoint(save_path, state, it)
     _drain()
     provider.close()
     return state, history

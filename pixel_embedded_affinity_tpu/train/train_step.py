@@ -46,11 +46,24 @@ def make_train_step_2d(model, tx, offsets, *, neighbor=4,
                        deep_weight=1, self_emb=1.0, cross_emb=1.0,
                        mask_weight=0.0, ct_weight=0.0,
                        use_pallas=True, interpret=False, remat=False,
-                       device_gt=False):
+                       device_gt=False, loss_mode="affinity",
+                       disc_weight=1.0, device_ema=False, ema_seed=0,
+                       ema_intensity=True, ema_mask=True, ema_flip=True,
+                       imagenet_norm=True):
     """``device_gt``: the batch carries only image/ema_image/seg/rules; GT
     affinities, weight maps, masks and pyramid targets are generated on
     device inside this jit (ops/affinity_jax.py) — ~12x less host->device
-    traffic than shipping precomputed float targets."""
+    traffic than shipping precomputed float targets.
+
+    ``device_ema``: the batch carries no ema_image/rules either — the EMA
+    view (intensity + mask patches + flips, data/device_aug.py) is generated
+    in-jit from the clean image and a key folded with the step counter.
+    ``imagenet_norm`` wraps the perturbations in denorm/renorm (the CVPPP
+    provider normalizes; BBBC ships raw [0,1]).
+
+    ``loss_mode='discriminative'``: adds ``disc_weight`` x the pull/push/reg
+    discriminative loss on the final embedding (the paper's ResNet-50/101
+    recipe; scripts_cvppp/loss/loss_discriminative.py:7-63)."""
     offsets = tuple(map(tuple, offsets))
     nb_half = neighbor // 2
     dwf = deep_weight_factors(deep_weight)
@@ -111,6 +124,12 @@ def make_train_step_2d(model, tx, offsets, *, neighbor=4,
         loss = loss_self * self_emb + loss_cross_total
 
         aux_losses = {}
+        if loss_mode == "discriminative":
+            from ..ops.losses_extra import discriminative_loss
+
+            ld = discriminative_loss(embedding, batch["seg"])
+            loss = loss + disc_weight * ld
+            aux_losses["loss_disc"] = ld
         if mask_weight:
             lm = L.mask_head_loss(pred_mask, (batch["seg"] > 0))
             loss = loss + mask_weight * lm
@@ -125,6 +144,23 @@ def make_train_step_2d(model, tx, offsets, *, neighbor=4,
         return loss, (mut["batch_stats"], jax.nn.relu(pred), metrics)
 
     def train_step(state: TrainState, batch):
+        if device_ema:
+            from ..data.device_aug import ema_view_2d
+            from ..data.consistency import IMAGENET_MEAN, IMAGENET_STD
+
+            key = jax.random.fold_in(jax.random.PRNGKey(ema_seed),
+                                     state.step)
+            img = batch["image"]
+            if imagenet_norm:
+                mean = jnp.asarray(IMAGENET_MEAN)
+                std = jnp.asarray(IMAGENET_STD)
+                img = img * std + mean
+            ema, rules = ema_view_2d(img, (batch["seg"] > 0), key,
+                                     intensity=ema_intensity,
+                                     mask=ema_mask, flip=ema_flip)
+            if imagenet_norm:
+                ema = (ema - mean) / std
+            batch = dict(batch, ema_image=ema, rules=rules)
         grads, (new_stats, pred, metrics) = jax.grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -156,9 +192,19 @@ def make_eval_step_2d(model, offsets, *, criterion=L.weighted_mse,
 def make_train_step_3d(model, tx, *, criterion=L.weighted_mse,
                        affs0_weight=1.0, embedding_mode=5,
                        shifts=(1, 1, 1, 2, 3, 3, 3, 9, 9, 4, 27, 27),
-                       use_pallas=True, interpret=False, remat=False):
+                       use_pallas=True, interpret=False, remat=False,
+                       device_gt=False, device_ema=False, ema_seed=0,
+                       ema_intensity=True, ema_mask=True, ema_flip=True):
     """3D step (scripts_ac3ac4/main.py:209-231): norm5 full-scale self +
     cross loss, norm1 deep supervision on 4 pyramid scales (emd1<->down4).
+
+    ``device_gt``: the batch carries only image(+ema_image)/seg(/rules);
+    the 12-channel affinities, per-channel weights and pyramid targets are
+    built in-jit from the int labels (ops/affinity_jax.build_targets_3d_jax)
+    — the single biggest host-CPU cost in the reference provider
+    (data_provider_labeled_deep.py:224-263) moves onto the chip.
+    ``device_ema``: the EMA view (intensity/cutout/flips) is generated
+    in-jit too (data/device_aug.ema_view_3d); the host ships ONE image.
 
     Memory: the dual-view backward holds ~22 GB of activations for the
     default PNI config — beyond one v5e's HBM. The PNI model is therefore
@@ -173,6 +219,12 @@ def make_train_step_3d(model, tx, *, criterion=L.weighted_mse,
     apply_fn = jax.checkpoint(apply_model) if remat else apply_model
 
     def loss_fn(params, batch_stats, batch):
+        if device_gt:
+            from ..ops.affinity_jax import build_targets_3d_jax
+
+            affs_t, wmap_t, downs_t = build_targets_3d_jax(batch["seg"])
+            batch = dict(batch, affs=affs_t, wmap=wmap_t,
+                         **{f"down{k+1}": d for k, d in enumerate(downs_t)})
         (e1, e2, e3, e4, embedding), mut = apply_fn(
             params, batch_stats, batch["image"])
         (_, _, _, _, ema_embedding), mut = apply_fn(
@@ -224,6 +276,15 @@ def make_train_step_3d(model, tx, *, criterion=L.weighted_mse,
         return loss, (mut["batch_stats"], jax.nn.relu(pred), metrics)
 
     def train_step(state: TrainState, batch):
+        if device_ema:
+            from ..data.device_aug import ema_view_3d
+
+            key = jax.random.fold_in(jax.random.PRNGKey(ema_seed),
+                                     state.step)
+            ema, rules = ema_view_3d(batch["image"], key,
+                                     intensity=ema_intensity,
+                                     mask=ema_mask, flip=ema_flip)
+            batch = dict(batch, ema_image=ema, rules=rules)
         grads, (new_stats, pred, metrics) = jax.grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

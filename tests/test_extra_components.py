@@ -229,3 +229,48 @@ def test_missing_parts_fills_band_with_mean():
     # at most one deformed slice in any 3 consecutive (i += 2 rule)
     aug_idx = [i for i in range(3) if (out[i] != stack[i]).any()]
     assert aug_idx == [0]
+
+
+def test_random_rotate_arbitrary_angle():
+    """random_rotate matches scipy.ndimage.rotate semantics on a labeled
+    fixture: arbitrary angle about the center, image bilinear, label
+    nearest, constant-zero border (rotation.py:40-57 parity)."""
+    from pixel_embedded_affinity_tpu.data.augment2d import random_rotate
+
+    class FixedAngle:
+        """rng whose first random() drives the angle."""
+
+        def __init__(self, frac):
+            self.frac = frac
+
+        def random(self):
+            return self.frac
+
+    h = w = 64
+    label = np.zeros((h, w), np.int32)
+    label[10:30, 12:40] = 1
+    label[40:58, 8:28] = 2
+    img = (label > 0).astype(np.float32) * 0.8 + 0.1
+
+    # angle distribution: rand()*360, so frac=0.25 -> 90 degrees CCW about
+    # the center; compare against scipy rotate (reshape=False, same pivot
+    # convention for even sizes differs by the half-pixel cv2 center, so
+    # check on the interior away from the 1px rim)
+    from scipy.ndimage import rotate as nd_rotate
+
+    img_o, lab_o = random_rotate(img, label, FixedAngle(0.25))
+    ref_img = nd_rotate(img, 90, reshape=False, order=1, mode="constant")
+    ref_lab = nd_rotate(label, 90, reshape=False, order=0, mode="constant")
+    inner = (slice(2, -2), slice(2, -2))
+    # cv2's center (h/2, w/2) vs scipy's (h-1)/2: for a 90-degree turn on an
+    # even-sized grid the grids align after a 1px shift
+    assert (lab_o[inner] == ref_lab[1:-3, 2:-2]).mean() > 0.98
+    assert np.abs(img_o[inner] - ref_img[1:-3, 2:-2]).mean() < 0.02
+    assert lab_o.dtype == label.dtype
+
+    # a non-multiple-of-90 angle must produce rotated (not rot90) content
+    img_o2, lab_o2 = random_rotate(img, label, FixedAngle(0.1))  # 36 deg
+    for k in range(4):
+        assert (lab_o2 != np.rot90(label, k)).mean() > 0.05
+    # labels stay a subset of the original ids (nearest interp, 0 border)
+    assert set(np.unique(lab_o2)) <= {0, 1, 2}

@@ -159,3 +159,22 @@ def test_unet_pni_fixture_parity():
     for t, j in zip(outs, jouts):
         j = np.transpose(np.asarray(j), (0, 4, 1, 2, 3))
         np.testing.assert_allclose(j, t, atol=1.5e-3, rtol=1e-2)
+
+
+def test_unet3d_mala_fixture_parity():
+    """Reduced-geometry MALA golden (docs/gen_parity_fixtures.py:gen_mala):
+    widths (2,3,4,5) instead of the reference's hardcoded (12,60,300,1500),
+    minimal valid-conv input (29,214,214) -> out (1,2,2). Same topology,
+    layer names and converter — parity protection without torch."""
+    data, sd, outs = _load_fixture("unet3d_mala_small.npz")
+    variables = to_jax_variables(convert_unet3d_mala_deep(sd))
+    widths = tuple(int(v) for v in data["widths"])
+    emd = int(data["emd"][0])
+    jmodel = UNet3DMALADeep(emd=emd, widths=widths)
+    x = np.random.default_rng(int(data["input_seed"][0])).standard_normal(
+        tuple(data["input_shape"])).astype(np.float32)
+    jx = np.transpose(x, (0, 2, 3, 4, 1))
+    jout = jmodel.apply(variables, jx, train=False)
+    j = np.transpose(np.asarray(jout), (0, 4, 1, 2, 3))
+    assert j.shape == outs[0].shape, (j.shape, outs[0].shape)
+    np.testing.assert_allclose(j, outs[0], atol=2e-4, rtol=1e-3)
