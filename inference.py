@@ -13,6 +13,14 @@ sys.path.insert(0, ".")
 
 
 def main():
+    import jax
+
+    try:  # persistent XLA compile cache (first compile is minutes here)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pea")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--cfg", type=str, default="cvppp")
     parser.add_argument("-ck", "--checkpoint", type=str, required=True)

@@ -61,6 +61,11 @@ class TrainConfig:
     resume: bool = False
     if_valid: bool = True
     use_pallas: bool = True
+    # >1: dispatch S chained train steps as ONE jitted lax.scan over S
+    # stacked batches. On links where every dispatch costs fixed latency
+    # (the tunneled chip here) this amortizes it S-fold; display/valid/
+    # save freqs are rounded up to multiples of S.
+    steps_per_call: int = 1
 
 
 @dataclass

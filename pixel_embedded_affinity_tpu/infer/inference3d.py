@@ -31,34 +31,24 @@ def run_inference_3d(cfg: Config, variables, volume: np.ndarray,
     import jax
 
     from ..train.loop import build_model
-    from ..ops.emb2aff_pallas import fused_affinity_3d
     from ..ops import embedding_to_affinity_3d
 
     model = build_model(cfg)
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
-    if (use_pallas and cfg.model.arch == "unet_pni_deep"
-            and crop_size[1] % 16 == 0 and crop_size[2] % 16 == 0):
-        # eval-only forward: the xy-s2d twin shares the parameter tree and
-        # runs the tile forward ~1.6x faster on chip (81 -> 51 ms at B=4
-        # f32; docs/PERF.md). Training keeps the direct graph (the twin
-        # loses under rematerialization).
-        from ..models.unet3d_pni_s2d import UNetPNIEmbeddingDeepS2D
-        import jax.numpy as jnp
-
-        dtype = (jnp.bfloat16 if cfg.model.dtype == "bfloat16"
-                 else jnp.float32)
-        model = UNetPNIEmbeddingDeepS2D(filters=tuple(cfg.model.filters),
-                                        emd=cfg.model.emd, dtype=dtype)
+    # Predictor choice (docs/PERF.md round-3 A/B, measured INSIDE the
+    # one-dispatch scan engine at (20,320,320)): dense+roll 3.9 s/vol,
+    # s2d-twin+roll 7.6, dense+fused 15.4, twin+fused 21.0 — both the
+    # xy-s2d twin and the fused Pallas affinity kernel (isolated wins in
+    # r2) INVERT inside lax.scan. The tiled path therefore uses the direct
+    # graph with roll-based affinities; the fused kernel remains on the
+    # (non-scan) training step where it wins.
 
     @jax.jit
     def predict(tiles):  # (B, d, h, w, 1) -> (B, 12, d, h, w)
         outs = model.apply(variables, tiles, train=False)
         embedding = outs[-1] if isinstance(outs, (tuple, list)) else outs
-        if use_pallas:
-            affs = fused_affinity_3d(embedding, tuple(SHIFTS_3D), 32, False)
-        else:
-            affs = embedding_to_affinity_3d(embedding, tuple(SHIFTS_3D))
+        affs = embedding_to_affinity_3d(embedding, tuple(SHIFTS_3D))
         return jax.nn.relu(affs)
 
     engine = TiledInference3D(crop_size=crop_size, stride=stride,

@@ -97,10 +97,12 @@ class TiledInference3D:
                             progress: Callable | None = None,
                             fetch: bool = True) -> np.ndarray:
         """Fully device-resident variant: the padded volume is uploaded to HBM
-        ONCE; tile extraction, prediction, Gaussian weighting and canvas
-        accumulation all run inside one jitted step with donated canvases.
-        Only the final stitched canvas returns to host. Removes all per-tile
-        host<->device traffic (the reference round-trips every tile)."""
+        ONCE and the ENTIRE tile sweep (extraction, prediction, Gaussian
+        weighting, canvas accumulation) is a single jitted lax.scan over
+        position batches. One dispatch per volume instead of one per tile
+        batch — on the tunneled chip each dispatch costs seconds of latency,
+        and the reference round-trips every tile
+        (provider_valid.py:212-240)."""
         import jax
         import jax.numpy as jnp
 
@@ -118,40 +120,43 @@ class TiledInference3D:
             pos.append(pos[-1])
         pos_arr = np.asarray(pos, np.int32).reshape(-1, bs, 3)
 
-        vol_d = jax.device_put(jnp.asarray(vol))
         weight = jnp.asarray(self.weight)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step(canvas, wmap, pos_b, vol_in):
-            tiles = jax.vmap(lambda p: jax.lax.dynamic_slice(
-                vol_in, (p[0], p[1], p[2]), (cz, cy, cx)))(pos_b)
-            tiles = self._shard_tiles(tiles)
-            affs = predict_fn(tiles[..., None])  # (B, K, cz, cy, cx)
+        @jax.jit
+        def sweep(vol_in, pos_all):
+            def batch_step(carry, pos_b):
+                canvas, wmap = carry
+                tiles = jax.vmap(lambda p: jax.lax.dynamic_slice(
+                    vol_in, (p[0], p[1], p[2]), (cz, cy, cx)))(pos_b)
+                tiles = self._shard_tiles(tiles)
+                affs = predict_fn(tiles[..., None])  # (B, K, cz, cy, cx)
 
-            def body(i, carry):
-                cv, wm = carry
-                z, y, x = pos_b[i, 0], pos_b[i, 1], pos_b[i, 2]
-                cv = jax.lax.dynamic_update_slice(
-                    cv,
-                    jax.lax.dynamic_slice(cv, (0, z, y, x),
-                                          (n_channels, cz, cy, cx))
-                    + affs[i] * weight[None],
-                    (0, z, y, x))
-                wm = jax.lax.dynamic_update_slice(
-                    wm,
-                    jax.lax.dynamic_slice(wm, (z, y, x), (cz, cy, cx))
-                    + weight,
-                    (z, y, x))
-                return cv, wm
+                def body(i, c):
+                    cv, wm = c
+                    z, y, x = pos_b[i, 0], pos_b[i, 1], pos_b[i, 2]
+                    cv = jax.lax.dynamic_update_slice(
+                        cv,
+                        jax.lax.dynamic_slice(cv, (0, z, y, x),
+                                              (n_channels, cz, cy, cx))
+                        + affs[i] * weight[None],
+                        (0, z, y, x))
+                    wm = jax.lax.dynamic_update_slice(
+                        wm,
+                        jax.lax.dynamic_slice(wm, (z, y, x), (cz, cy, cx))
+                        + weight,
+                        (z, y, x))
+                    return cv, wm
 
-            return jax.lax.fori_loop(0, bs, body, (canvas, wmap))
+                return jax.lax.fori_loop(0, bs, body, (canvas, wmap)), None
 
-        canvas = jnp.zeros((n_channels,) + pshape, jnp.float32)
-        wmap = jnp.zeros(pshape, jnp.float32)
-        for i, pb in enumerate(pos_arr):
-            canvas, wmap = step(canvas, wmap, jnp.asarray(pb), vol_d)
-            if progress is not None:
-                progress((i + 1) * bs, len(pos))
+            init = (jnp.zeros((n_channels,) + pshape, jnp.float32),
+                    jnp.zeros(pshape, jnp.float32))
+            (canvas, wmap), _ = jax.lax.scan(batch_step, init, pos_all)
+            return canvas, wmap
+
+        canvas, wmap = sweep(jnp.asarray(vol), jnp.asarray(pos_arr))
+        if progress is not None:
+            progress(len(pos), len(pos))
         if not fetch:
             # benchmarking/serving hook: leave the padded canvases in HBM
             # (the caller reduces or consumes them on device; avoids the

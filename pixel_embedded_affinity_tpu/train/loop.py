@@ -345,6 +345,26 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
     jit_step = jax.jit(step_fn,
                        in_shardings=(rsh, batch_shardings),
                        donate_argnums=(0,))
+
+    # multi-step dispatch: S chained steps per jit call (fixed per-dispatch
+    # link latency amortizes S-fold; the scan body is the same step_fn)
+    S = max(1, int(getattr(cfg.train, "steps_per_call", 1)))
+    jit_multi = None
+    if S > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        stacked_sh = NamedSharding(mesh, P(None, "data"))
+
+        def multi_fn(state, batches):
+            def body(s, b):
+                s2, _, m = step_fn(s, b)
+                return s2, m["loss"]
+            return jax.lax.scan(body, state, batches)
+
+        jit_multi = jax.jit(
+            multi_fn,
+            in_shardings=(rsh, {k: stacked_sh for k in batch0}),
+            donate_argnums=(0,))
     eval_step = None
     if not is_3d:
         eval_step = jax.jit(make_eval_step_2d(
@@ -369,7 +389,26 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
         while True:
             yield provider.next()
 
-    batch_iter = device_prefetch(_batches(), sharding=bsh)
+    if S > 1:
+        # round event freqs up to multiples of S so events land on call
+        # boundaries; stack S batches per dispatch
+        for attr in ("display_freq", "valid_freq", "save_freq"):
+            v = getattr(cfg.train, attr)
+            setattr(cfg.train, attr, ((v + S - 1) // S) * S)
+
+        def _stacked():
+            first = [batch0] + [provider.next() for _ in range(S - 1)]
+            yield {k: np.stack([b[k] for b in first]) for k in batch0}
+            while True:
+                chunk = [provider.next() for _ in range(S)]
+                yield {k: np.stack([b[k] for b in chunk]) for k in batch0}
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_iter = device_prefetch(
+            _stacked(), sharding=NamedSharding(mesh, P(None, "data")))
+    else:
+        batch_iter = device_prefetch(_batches(), sharding=bsh)
 
     # losses are fetched lazily (at display/valid points) so the host never
     # blocks on the device per step; `pending` holds tiny device scalars
@@ -379,27 +418,45 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
         nonlocal sum_loss
         if not pending:
             return
-        first_step = it - len(pending) + 1
-        for j, v in enumerate(jax.device_get(pending)):
-            lv = float(v)
-            watchdog.check(lv, state=None, step=first_step + j)
-            sum_loss += lv
+        # entries are scalars (single-step) or (S,) vectors (multi-step)
+        vals = []
+        for v in jax.device_get(pending):
+            vals.extend(np.atleast_1d(np.asarray(v)).tolist())
+        first_step = it - len(vals) + 1
+        for j, lv in enumerate(vals):
+            watchdog.check(float(lv), state=None, step=first_step + j)
+            sum_loss += float(lv)
         pending.clear()
 
     while it < total_iters:
-        it += 1
-        batch = next(batch_iter)
-        state, pred, metrics = jit_step(state, batch)
-        pending.append(metrics["loss"])
-        if it % cfg.train.display_freq == 0 or it == 1:
+        if S > 1 and total_iters - it >= S:
+            batch = next(batch_iter)
+            state, losses = jit_multi(state, batch)
+            it += S
+            pending.append(losses)  # (S,) device vector, fetched at drain
+        else:
+            if S > 1:  # tail (< S steps left): single-step on fresh batches
+                stacked = next(batch_iter)
+                batch = {k: v[0] for k, v in stacked.items()}
+            else:
+                batch = next(batch_iter)
+            state, pred, metrics = jit_step(state, batch)
+            it += 1
+            pending.append(metrics["loss"])
+
+        def _hit(freq):  # robust to S-strided iteration counts
+            return it % freq < (S if S > 1 else 1)
+
+        if _hit(cfg.train.display_freq) or it <= S:
             _drain()
             dt = time.time() - t_start
-            avg = sum_loss / (cfg.train.display_freq if it > 1 else 1)
+            avg = sum_loss / (cfg.train.display_freq if it > S
+                              else max(it, 1))
             log.info("step %d, loss=%.6f (%.2f s)", it, avg, dt)
             logger.add(it, loss=avg, sec_per_iter=dt / max(it, 1))
             sum_loss = 0.0
         if cfg.train.if_valid and valid_ds is not None \
-                and (it % cfg.train.valid_freq == 0):
+                and _hit(cfg.train.valid_freq) and it > S:
             _drain()
             if is_3d:
                 cz, cy, cx = cfg.data.crop_size
@@ -420,7 +477,7 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
                 log.info("valid @%d: %s", it, m)
                 logger.add(it, **m)
                 history.append({"step": it, **m})
-        if it % cfg.train.save_freq == 0 or it == total_iters:
+        if (_hit(cfg.train.save_freq) and it > S) or it >= total_iters:
             _drain()
             if jax.process_index() == 0:  # single writer under multi-host
                 save_checkpoint(save_path, state, it)

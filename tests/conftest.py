@@ -27,5 +27,12 @@ if not _TPU_TIER:
 # exact f32 convs/matmuls for reference-parity tests (the framework default
 # stays fast bf16-class MXU passes in production)
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compile cache: XLA CPU conv compiles are minutes-slow on this
+# 1-core host; reruns of the suite hit the cache instead
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pea")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:
+    pass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -42,6 +42,15 @@ def main():
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
 
+    import jax
+
+    try:  # persistent XLA compile cache (first compile is minutes here)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pea")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
+
     if args.distributed:
         import jax
 
