@@ -96,6 +96,13 @@ class DataConfig:
     # per-sample host perturbation cost (data/device_aug.py). Applies to
     # all three pipelines; requires device_gt for the 2D ones.
     device_ema: bool = False
+    # HBM-resident dataset: upload the whole padded training set to device
+    # once and run sample selection + flips + RandomResizedCrop +
+    # normalization in-jit (data/device_data.py) — per-iteration
+    # host->device traffic drops to zero. Requires device_gt + device_ema;
+    # currently CVPPP 2D ('xiaoyu' chain) single-host only; other presets
+    # fall back to the host sampler with a log message.
+    device_resident: bool = False
     # 3D
     dataset_name: str = "ac4"
     train_split: int = 80
@@ -139,7 +146,8 @@ PRESETS: dict[str, dict[str, Any]] = {
                   "base_lr": 1e-4, "batch_size": 2},
         "data": {"dataset": "cvppp", "size": 544,
                  "shifts": (1, 3, 5, 9, 27), "strides": (5, 5),
-                 "device_gt": True, "device_ema": True},
+                 "device_gt": True, "device_ema": True,
+                 "device_resident": True},
     },
     # scripts_bbbc039v1/config/bbbc039v1.yaml parity
     "bbbc039v1": {

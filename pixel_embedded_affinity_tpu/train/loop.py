@@ -261,11 +261,43 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
     else:
         train_ds, valid_ds = build_dataset(cfg)
 
+    # HBM-resident dataset mode (CVPPP 2D): the whole padded training set
+    # is uploaded once; sampling/aug/normalization run inside the train jit
+    # (data/device_data.py). No host sampler processes, no per-step
+    # host->device batch transfer.
+    use_dr = (getattr(cfg.data, "device_resident", False)
+              and cfg.data.dataset == "cvppp"
+              and cfg.data.device_gt and cfg.data.device_ema
+              and getattr(cfg.data, "aug_mode", "xiaoyu") == "xiaoyu"
+              and data_override is None
+              and jax.process_count() == 1)
+    if getattr(cfg.data, "device_resident", False) and not use_dr:
+        log.info("device_resident requested but unsupported for this config "
+                 "(needs cvppp + device_gt + device_ema + 'xiaoyu' aug, "
+                 "single-host); using the host sampler")
+
     from ..data.provider import Provider
 
-    provider = Provider(train_ds, batch_size=cfg.train.batch_size,
-                        num_workers=cfg.train.num_workers,
-                        seed=cfg.train.random_seed)
+    if use_dr:
+        from ..data.device_data import load_cvppp_arrays
+
+        dr_images, dr_labels = load_cvppp_arrays(
+            cfg.data.data_folder, valid_set=cfg.data.valid_set,
+            padding=cfg.data.padding)
+        log.info("device-resident dataset: %d images (%s + %s = %.1f MB)",
+                 dr_images.shape[0], dr_images.shape[1:], dr_labels.dtype,
+                 (dr_images.nbytes + dr_labels.nbytes) / 1e6)
+        provider = None
+        batch0 = {"image": np.zeros(
+                      (cfg.train.batch_size, cfg.data.size, cfg.data.size, 3),
+                      np.float32),
+                  "seg": np.zeros(
+                      (cfg.train.batch_size, cfg.data.size, cfg.data.size),
+                      np.int32)}
+    else:
+        provider = Provider(train_ds, batch_size=cfg.train.batch_size,
+                            num_workers=cfg.train.num_workers,
+                            seed=cfg.train.random_seed)
 
     # 'cosine' in the reference as-shipped runs at constant base_lr (the
     # cosine branch is commented out, scripts_cvppp/main.py:247-257)
@@ -281,7 +313,8 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
                         amsgrad=True, opt_type=cfg.train.opt_type,
                         schedule=schedule)
 
-    batch0 = provider.next()
+    if not use_dr:
+        batch0 = provider.next()
     state = init_state(cfg, model, tx, batch0)
 
     save_path = os.path.join(cfg.save_path, cfg.name)
@@ -350,7 +383,7 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
     # link latency amortizes S-fold; the scan body is the same step_fn)
     S = max(1, int(getattr(cfg.train, "steps_per_call", 1)))
     jit_multi = None
-    if S > 1:
+    if S > 1 and not use_dr:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         stacked_sh = NamedSharding(mesh, P(None, "data"))
@@ -365,6 +398,36 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
             multi_fn,
             in_shardings=(rsh, {k: stacked_sh for k in batch0}),
             donate_argnums=(0,))
+
+    jit_dr = jit_dr1 = None
+    dr_images_d = dr_labels_d = None
+    if use_dr:
+        import jax.numpy as jnp
+
+        from ..data.device_data import sample_cvppp_batch
+
+        dr_images_d = jax.device_put(jnp.asarray(dr_images), rsh)
+        dr_labels_d = jax.device_put(jnp.asarray(dr_labels), rsh)
+        # distinct stream from the in-jit EMA key (both fold the step)
+        dr_key = jax.random.fold_in(
+            jax.random.PRNGKey(cfg.train.random_seed), 55991)
+        B_, out_ = cfg.train.batch_size, cfg.data.size
+
+        def make_dr(length):
+            def fn(st, images, labels):
+                def body(s, _):
+                    key = jax.random.fold_in(dr_key, s.step)
+                    b = sample_cvppp_batch(images, labels, key, B_, out=out_)
+                    b = {k: jax.lax.with_sharding_constraint(v, bsh)
+                         for k, v in b.items()}
+                    s2, _, m = step_fn(s, b)
+                    return s2, m["loss"]
+                return jax.lax.scan(body, st, None, length=length)
+            return jax.jit(fn, in_shardings=(rsh, rsh, rsh),
+                           donate_argnums=(0,))
+
+        jit_dr = make_dr(S)
+        jit_dr1 = make_dr(1) if S > 1 else jit_dr
     eval_step = None
     if not is_3d:
         eval_step = jax.jit(make_eval_step_2d(
@@ -391,24 +454,28 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
 
     if S > 1:
         # round event freqs up to multiples of S so events land on call
-        # boundaries; stack S batches per dispatch
+        # boundaries
         for attr in ("display_freq", "valid_freq", "save_freq"):
             v = getattr(cfg.train, attr)
             setattr(cfg.train, attr, ((v + S - 1) // S) * S)
 
-        def _stacked():
-            first = [batch0] + [provider.next() for _ in range(S - 1)]
-            yield {k: np.stack([b[k] for b in first]) for k in batch0}
-            while True:
-                chunk = [provider.next() for _ in range(S)]
-                yield {k: np.stack([b[k] for b in chunk]) for k in batch0}
+    batch_iter = None
+    if not use_dr:
+        if S > 1:
+            # stack S batches per dispatch
+            def _stacked():
+                first = [batch0] + [provider.next() for _ in range(S - 1)]
+                yield {k: np.stack([b[k] for b in first]) for k in batch0}
+                while True:
+                    chunk = [provider.next() for _ in range(S)]
+                    yield {k: np.stack([b[k] for b in chunk]) for k in batch0}
 
-        from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-        batch_iter = device_prefetch(
-            _stacked(), sharding=NamedSharding(mesh, P(None, "data")))
-    else:
-        batch_iter = device_prefetch(_batches(), sharding=bsh)
+            batch_iter = device_prefetch(
+                _stacked(), sharding=NamedSharding(mesh, P(None, "data")))
+        else:
+            batch_iter = device_prefetch(_batches(), sharding=bsh)
 
     # losses are fetched lazily (at display/valid points) so the host never
     # blocks on the device per step; `pending` holds tiny device scalars
@@ -429,7 +496,13 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
         pending.clear()
 
     while it < total_iters:
-        if S > 1 and total_iters - it >= S:
+        if use_dr:
+            n = S if total_iters - it >= S else 1
+            state, losses = (jit_dr if n == S else jit_dr1)(
+                state, dr_images_d, dr_labels_d)
+            it += n
+            pending.append(losses)  # (n,) device vector, fetched at drain
+        elif S > 1 and total_iters - it >= S:
             batch = next(batch_iter)
             state, losses = jit_multi(state, batch)
             it += S
@@ -482,5 +555,6 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
             if jax.process_index() == 0:  # single writer under multi-host
                 save_checkpoint(save_path, state, it)
     _drain()
-    provider.close()
+    if provider is not None:
+        provider.close()
     return state, history
