@@ -96,13 +96,16 @@ class DataConfig:
     # per-sample host perturbation cost (data/device_aug.py). Applies to
     # all three pipelines; requires device_gt for the 2D ones.
     device_ema: bool = False
-    # HBM-resident dataset: upload the whole padded training set to device
-    # once and run sample selection + flips + RandomResizedCrop +
-    # normalization in-jit (data/device_data.py) — per-iteration
-    # host->device traffic drops to zero. Requires device_gt + device_ema;
-    # currently CVPPP 2D ('xiaoyu' chain) single-host only; other presets
-    # fall back to the host sampler with a log message.
+    # HBM-resident dataset: upload the whole training set to device once
+    # and run sample selection + augmentation in-jit (data/device_data.py)
+    # — per-iteration host->device traffic drops to zero. Requires
+    # device_gt + device_ema, single-host. Supported: CVPPP ('xiaoyu'
+    # chain: flips + RandomResizedCrop + normalize) and AC3/AC4 (crop +
+    # full _augs_mix: flips/rot90/elastic/grayscale/EM artifacts); other
+    # presets fall back to the host sampler with a log message.
     device_resident: bool = False
+    # bbbc039v1 reflect-pad before the random crop (data_provider.py:117)
+    bbbc_padding: int = 30
     # 3D
     dataset_name: str = "ac4"
     train_split: int = 80
@@ -158,7 +161,8 @@ PRESETS: dict[str, dict[str, Any]] = {
                   "base_lr": 1e-4, "batch_size": 2},
         "data": {"dataset": "bbbc039v1", "size": 256,
                  "shifts": (1, 3, 5, 9, 11), "strides": (10, 10),
-                 "device_gt": True, "device_ema": True},
+                 "device_gt": True, "device_ema": True,
+                 "device_resident": True},
     },
     # paper ResNet-50/101 variants (BASELINE configs 3/4): CVPPP training
     # with discriminative + affinity loss on the ResNet embedding nets
@@ -191,7 +195,8 @@ PRESETS: dict[str, dict[str, Any]] = {
                   "batch_size": 2},
         "data": {"dataset": "ac3ac4", "dataset_name": "ac4",
                  "train_split": 80, "crop_size": (18, 160, 160),
-                 "padding_3d": 50, "device_gt": True, "device_ema": True},
+                 "padding_3d": 50, "device_gt": True, "device_ema": True,
+                 "device_resident": True},
     },
 }
 

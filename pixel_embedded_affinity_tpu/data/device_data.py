@@ -197,3 +197,367 @@ def sample_cvppp_batch(images_u8, labels_i32, key, batch_size: int,
     return jax.vmap(lambda kk: sample_cvppp(
         images_u8, labels_i32, kk, out=out, scale=scale, ratio=ratio,
         normalize=normalize))(keys)
+
+
+# ---------------------------------------------------------------------------
+# AC3/AC4 (3D): whole EM volume in HBM, crop + full _augs_mix chain in-jit
+# ---------------------------------------------------------------------------
+
+
+def load_ac3ac4_arrays(data_folder: str, dataset_name: str = "ac4",
+                       train_split: int = 80, if_dilate: bool = True,
+                       crop_z: int = 18):
+    """Host one-time prep mirroring AC3AC4Train.__init__ (data/ac3ac4.py):
+    HDF5 'main' volumes, first train_split slices, seg_widen_border, z-pad
+    if thinner than the crop. Returns (raw_u8 (D,H,W), label_i32)."""
+    import h5py
+
+    from ..ops import seg_widen_border
+
+    name_map = {"ac4": ("AC4_inputs.h5", "AC4_labels.h5"),
+                "ac3": ("AC3_inputs.h5", "AC3_labels.h5")}
+    fr, fl = name_map[dataset_name]
+    with h5py.File(os.path.join(data_folder, fr), "r") as f:
+        raw = f["main"][:]
+    with h5py.File(os.path.join(data_folder, fl), "r") as f:
+        label = f["main"][:]
+    raw = raw[:train_split]
+    label = label[:train_split].astype(np.int64)
+    if if_dilate:
+        label = seg_widen_border(label, tsz_h=1)
+    if raw.shape[0] < crop_z:
+        pz = (crop_z - raw.shape[0]) // 2
+        pz2 = crop_z - raw.shape[0] - pz
+        raw = np.pad(raw, ((pz, pz2), (0, 0), (0, 0)), mode="reflect")
+        label = np.pad(label, ((pz, pz2), (0, 0), (0, 0)), mode="reflect")
+    return (np.ascontiguousarray(raw, np.uint8),
+            np.ascontiguousarray(label, np.int32))
+
+
+def _rot90_xy(vol, k):
+    """Dynamic rot90 about the xy axes of a (D, H, W) volume, H == W."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.lax.switch(
+        k,
+        [lambda v: v,
+         lambda v: jnp.rot90(v, 1, axes=(1, 2)),
+         lambda v: jnp.rot90(v, 2, axes=(1, 2)),
+         lambda v: jnp.rot90(v, 3, axes=(1, 2))],
+        vol)
+
+
+def _flip_rule4(vol, rule):
+    """simple_augment_3d (ac3ac4.py:23): z-flip, x-flip, y-flip,
+    xy-transpose bits, on one (D, H, W) volume (H == W)."""
+    import jax.numpy as jnp
+
+    r = rule.astype(bool)
+    v = jnp.where(r[0], vol[::-1], vol)
+    v = jnp.where(r[1], v[:, :, ::-1], v)
+    v = jnp.where(r[2], v[:, ::-1, :], v)
+    v = jnp.where(r[3], jnp.transpose(v, (0, 2, 1)), v)
+    return v
+
+
+def _grayscale_single(img, key, contrast=(0.7, 1.3),
+                      brightness=(-0.15, 0.15), gamma=(0.7, 1.4)):
+    """random_grayscale_adjust (augment2d.py:170) for one map."""
+    import jax
+    import jax.numpy as jnp
+
+    kc, kb, kg = jax.random.split(key, 3)
+    c = jax.random.uniform(kc, (), minval=contrast[0], maxval=contrast[1])
+    b = jax.random.uniform(kb, (), minval=brightness[0],
+                           maxval=brightness[1])
+    g = jax.random.uniform(kg, (), minval=gamma[0], maxval=gamma[1])
+    out = jnp.clip(img * c + b, 0.0, 1.0)
+    return jnp.clip(out ** g, 0.0, 1.0)
+
+
+def _intensity_3d_single(vol, key):
+    """intensity_augment_3d 'mix' (ac3ac4.py:119): p=0.5 per-slice params
+    (2D) else one whole-volume set (3D)."""
+    import jax
+    import jax.numpy as jnp
+
+    km, k2, k3 = jax.random.split(key, 3)
+    mode2d = jax.random.bernoulli(km)
+    per_slice = jax.vmap(_grayscale_single)(
+        vol, jax.random.split(k2, vol.shape[0]))
+    whole = _grayscale_single(vol, k3)
+    return jnp.where(mode2d, per_slice, whole)
+
+
+def _missing_section_single(vol, key, max_sections: int = 2):
+    """missing_section_augment (ac3ac4.py:77): 1..max z-slices blanked
+    (zero) or noise-filled, distinct slices."""
+    import jax
+    import jax.numpy as jnp
+
+    d = vol.shape[0]
+    kn, kz1, kz2, kf1, kf2, ku = jax.random.split(key, 6)
+    n = jax.random.randint(kn, (), 1, max_sections + 1)
+    z1 = jax.random.randint(kz1, (), 0, d)
+    z2r = jax.random.randint(kz2, (), 0, d - 1)
+    z2 = jnp.where(z2r >= z1, z2r + 1, z2r)  # distinct from z1
+    noise = jax.random.uniform(ku, vol.shape, vol.dtype)
+
+    def fill(v, z, kf, active):
+        use_noise = jax.random.bernoulli(kf)
+        filled = jnp.where(use_noise, noise, jnp.zeros_like(v))
+        hit = (jnp.arange(d) == z)[:, None, None] & active
+        return jnp.where(hit, filled, v)
+
+    vol = fill(vol, z1, kf1, True)
+    vol = fill(vol, z2, kf2, n >= 2)
+    return vol
+
+
+def _misalign_single(vol, lab, key, max_shift: int = 10):
+    """misalign_augment (ac3ac4.py:92): slices z >= z0 rigidly shifted by
+    (dy, dx), zero/0-label fill."""
+    import jax
+    import jax.numpy as jnp
+
+    d, h, w = vol.shape
+    kz, ky, kx = jax.random.split(key, 3)
+    z0 = jax.random.randint(kz, (), 1, d)
+    dy = jax.random.randint(ky, (), -max_shift, max_shift + 1)
+    dx = jax.random.randint(kx, (), -max_shift, max_shift + 1)
+
+    ys = jnp.arange(h) - dy
+    xs = jnp.arange(w) - dx
+    yin = (ys >= 0) & (ys < h)
+    xin = (xs >= 0) & (xs < w)
+    yc = jnp.clip(ys, 0, h - 1)
+    xc = jnp.clip(xs, 0, w - 1)
+    inb = yin[:, None] & xin[None, :]
+
+    def shift(a, fill):
+        sh = jnp.take(jnp.take(a, yc, axis=1), xc, axis=2)
+        sh = jnp.where(inb[None], sh, fill)
+        move = (jnp.arange(d) >= z0)[:, None, None]
+        return jnp.where(move, sh, a)
+
+    return shift(vol, 0.0), shift(lab, 0)
+
+
+def _elastic_xy_single(vol, lab, key, alpha: float = 16.0,
+                       sigma: float = 4.0):
+    """Per-slice elastic in xy with ONE field for all z
+    (ac3ac4._augs_mix: same mx/my per slice, cv2.remap reflect)."""
+    import jax
+
+    from . import device_warp as dw
+
+    h, w = vol.shape[1:]
+    dx, dy = dw.elastic_field(key, h, w, alpha, sigma)
+    mx, my = dw.elastic_coords(dx, dy)
+    img_o = jax.vmap(lambda s: dw.remap_bilinear(s, mx, my, "reflect"))(vol)
+    lab_o = jax.vmap(lambda s: dw.remap_nearest(s, mx, my, "reflect"))(lab)
+    return img_o, lab_o
+
+
+def _augs_mix_jax(img, lab, key, em_aug: bool = True):
+    """In-jit mirror of AC3AC4Train._augs_mix (data/ac3ac4.py:252): flips
+    p=0.5, rot90 p=0.5, elastic p=0.5, grayscale p=0.5, EM artifacts p=0.2
+    (missing-section vs misalign p=0.5). All branches are computed and
+    selected (static shapes); img (D,H,W) f32 in [0,1], lab (D,H,W) i32."""
+    import jax
+    import jax.numpy as jnp
+
+    kg1, kf, kg2, kk, kg3, ke, kg4, ki, kg5, kg6, kem = \
+        jax.random.split(key, 11)
+
+    do_flip = jax.random.uniform(kg1) > 0.5
+    rule = jax.random.randint(kf, (4,), 0, 2)
+    img = jnp.where(do_flip, _flip_rule4(img, rule), img)
+    lab = jnp.where(do_flip, _flip_rule4(lab, rule), lab)
+
+    do_rot = jax.random.uniform(kg2) > 0.5
+    k = jnp.where(do_rot, jax.random.randint(kk, (), 0, 4), 0)
+    img = _rot90_xy(img, k)
+    lab = _rot90_xy(lab, k)
+
+    do_el = jax.random.uniform(kg3) < 0.5
+    img_e, lab_e = _elastic_xy_single(img, lab, ke)
+    img = jnp.where(do_el, img_e, img)
+    lab = jnp.where(do_el, lab_e, lab)
+
+    do_gs = jax.random.uniform(kg4) < 0.5
+    img = jnp.where(do_gs, _intensity_3d_single(img, ki), img)
+
+    if em_aug:
+        do_em = jax.random.uniform(kg5) < 0.2
+        miss = jax.random.uniform(kg6) < 0.5
+        k_ms, k_ma = jax.random.split(kem)
+        img_ms = _missing_section_single(img, k_ms)
+        img_ma, lab_ma = _misalign_single(img, lab, k_ma)
+        img = jnp.where(do_em, jnp.where(miss, img_ms, img_ma), img)
+        lab = jnp.where(do_em & ~miss, lab_ma, lab)
+    return img, lab
+
+
+def sample_ac3ac4(raw_u8, label_i32, key, crop_size=(18, 160, 160),
+                  padding: int = 50, aug_prob: float = 0.5):
+    """One 3D training sample in-jit, mirroring AC3AC4Train.sample (light
+    + device_ema contract): random (cz, cy+2p, cx+2p) crop, p=aug_prob
+    _augs_mix, center-crop to crop_size. Returns {'image': (D,H,W,1) f32,
+    'seg': (D,H,W) i32}; GT targets and the EMA view are built in-jit
+    downstream (train_step_3d device_gt + device_aug.ema_view_3d)."""
+    import jax
+    import jax.numpy as jnp
+
+    D, H, W = label_i32.shape
+    cz, cy, cx = crop_size
+    cfo = (cz, cy + 2 * padding, cx + 2 * padding)
+    kz, ky, kx, kg, ka = jax.random.split(key, 5)
+    rz = jax.random.randint(kz, (), 0, D - cfo[0] + 1)
+    ry = jax.random.randint(ky, (), 0, H - cfo[1] + 1)
+    rx = jax.random.randint(kx, (), 0, W - cfo[2] + 1)
+    img = jax.lax.dynamic_slice(raw_u8, (rz, ry, rx), cfo)
+    lab = jax.lax.dynamic_slice(label_i32, (rz, ry, rx), cfo)
+    img = img.astype(jnp.float32) / 255.0
+
+    do_aug = jax.random.uniform(kg) < aug_prob
+    img_a, lab_a = _augs_mix_jax(img, lab, ka)
+    img = jnp.where(do_aug, img_a, img)
+    lab = jnp.where(do_aug, lab_a, lab)
+
+    oz, oy, ox = ((cfo[0] - cz) // 2, (cfo[1] - cy) // 2,
+                  (cfo[2] - cx) // 2)
+    img = jax.lax.dynamic_slice(img, (oz, oy, ox), (cz, cy, cx))
+    lab = jax.lax.dynamic_slice(lab, (oz, oy, ox), (cz, cy, cx))
+    return {"image": img[..., None], "seg": lab}
+
+
+def sample_ac3ac4_batch(raw_u8, label_i32, key, batch_size: int,
+                        crop_size=(18, 160, 160), padding: int = 50,
+                        aug_prob: float = 0.5):
+    import jax
+
+    keys = jax.random.split(key, batch_size)
+    return jax.vmap(lambda kk: sample_ac3ac4(
+        raw_u8, label_i32, kk, crop_size=crop_size, padding=padding,
+        aug_prob=aug_prob))(keys)
+
+
+# ---------------------------------------------------------------------------
+# BBBC039V1 (2D nuclei): padded normalized images in HBM, crop + the
+# flip/rotate/rescale/elastic/grayscale chain in-jit
+# ---------------------------------------------------------------------------
+
+
+def load_bbbc_arrays(data_folder: str, padding: int = 30):
+    """Host one-time prep mirroring BBBCTrain._load + the reflect pad
+    (data/bbbc.py:61-81): TIFF min-max normalized to [0,1] f32, instance
+    PNG labels, training split, reflect-padded. Returns
+    (images_f32 (N, H+2p, W+2p), labels_i32)."""
+    import cv2
+
+    meta = os.path.join(data_folder, "metadata", "training.txt")
+    with open(meta) as f:
+        names = [x.strip()[:-4] for x in f if x.strip()]
+    imgs, labs = [], []
+    for n in names:
+        img = cv2.imread(os.path.join(data_folder, "images", n + ".tif"),
+                         cv2.IMREAD_UNCHANGED).astype(np.float32)
+        img = (img - img.min()) / max(img.max() - img.min(), 1e-8)
+        lab = cv2.imread(
+            os.path.join(data_folder, "masks_instance", n + ".png"),
+            cv2.IMREAD_UNCHANGED)
+        if lab.ndim == 3:
+            lab = lab[..., 0]
+        imgs.append(np.pad(img, padding, mode="reflect"))
+        labs.append(np.pad(lab.astype(np.int32), padding, mode="reflect"))
+    return (np.stack(imgs).astype(np.float32), np.stack(labs))
+
+
+def _bbbc_aug_jax(img, lab, key):
+    """In-jit mirror of the BBBCTrain.sample aug block (data/bbbc.py:88-100)
+    on one (crop, crop) f32/i32 pair: flips p=0.5 (each axis p=0.5 inside),
+    arbitrary-angle rotation p=0.5, rescale 0.8-1.2 p=0.5, elastic p=0.75,
+    grayscale p=0.75. Sequential resampling exactly like the host."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import device_warp as dw
+
+    h, w = lab.shape
+    (kg1, kf1, kf2, kg2, kang, kg3, ksc, kg4, kel, kg5, kgs) = \
+        jax.random.split(key, 11)
+
+    do_flip = jax.random.uniform(kg1) > 0.5
+    fx = do_flip & (jax.random.uniform(kf1) < 0.5)
+    fy = do_flip & (jax.random.uniform(kf2) < 0.5)
+    img = jnp.where(fx, img[:, ::-1], img)
+    lab = jnp.where(fx, lab[:, ::-1], lab)
+    img = jnp.where(fy, img[::-1], img)
+    lab = jnp.where(fy, lab[::-1], lab)
+
+    do_rot = jax.random.uniform(kg2) > 0.5
+    ang = jax.random.uniform(kang) * 360.0
+    mx, my = dw.rotation_coords(ang, h, w)
+    img = jnp.where(do_rot, dw.remap_bilinear(img, mx, my, "constant"), img)
+    lab = jnp.where(do_rot, dw.remap_nearest(lab, mx, my, "constant"), lab)
+
+    do_sc = jax.random.uniform(kg3) < 0.5
+    f = jax.random.uniform(ksc, (), minval=0.8, maxval=1.2)
+    mx, my = dw.rescale_coords(f, h, w, h, w)
+    img = jnp.where(do_sc, dw.remap_bilinear(img, mx, my, "reflect"), img)
+    lab = jnp.where(do_sc, dw.remap_nearest(lab, mx, my, "reflect"), lab)
+
+    do_el = jax.random.uniform(kg4) < 0.75
+    dx, dy = dw.elastic_field(kel, h, w, alpha=16.0, sigma=4.0)
+    mx, my = dw.elastic_coords(dx, dy)
+    img = jnp.where(do_el, dw.remap_bilinear(img, mx, my, "reflect"), img)
+    lab = jnp.where(do_el, dw.remap_nearest(lab, mx, my, "reflect"), lab)
+
+    do_gs = jax.random.uniform(kg5) < 0.75
+    img = jnp.where(do_gs, _grayscale_single(img, kgs), img)
+    return img, lab
+
+
+def sample_bbbc(images_f32, labels_i32, key, size: int = 256,
+                padding: int = 30, aug_prob: float = 0.8):
+    """One BBBC training sample in-jit mirroring BBBCTrain.sample (light +
+    device_ema contract): pick image, random (size+2p)^2 crop, p=aug_prob
+    aug chain, center-crop to size^2, grayscale repeated to 3 channels.
+    Returns {'image': (size, size, 3) f32, 'seg': (size, size) i32}."""
+    import jax
+    import jax.numpy as jnp
+
+    N, Hp, Wp = labels_i32.shape
+    crop = size + 2 * padding
+    kp, ky, kx, kg, ka = jax.random.split(key, 5)
+    k = jax.random.randint(kp, (), 0, N)
+    img_full = jnp.take(images_f32, k, axis=0)
+    lab_full = jnp.take(labels_i32, k, axis=0)
+    ry = jax.random.randint(ky, (), 0, Hp - crop + 1)
+    rx = jax.random.randint(kx, (), 0, Wp - crop + 1)
+    img = jax.lax.dynamic_slice(img_full, (ry, rx), (crop, crop))
+    lab = jax.lax.dynamic_slice(lab_full, (ry, rx), (crop, crop))
+
+    do_aug = jax.random.uniform(kg) < aug_prob
+    img_a, lab_a = _bbbc_aug_jax(img, lab, ka)
+    img = jnp.where(do_aug, img_a, img)
+    lab = jnp.where(do_aug, lab_a, lab)
+
+    o = padding
+    img = img[o:o + size, o:o + size]
+    lab = lab[o:o + size, o:o + size]
+    image = jnp.repeat(img[..., None], 3, axis=-1)
+    return {"image": image, "seg": lab}
+
+
+def sample_bbbc_batch(images_f32, labels_i32, key, batch_size: int,
+                      size: int = 256, padding: int = 30,
+                      aug_prob: float = 0.8):
+    import jax
+
+    keys = jax.random.split(key, batch_size)
+    return jax.vmap(lambda kk: sample_bbbc(
+        images_f32, labels_i32, kk, size=size, padding=padding,
+        aug_prob=aug_prob))(keys)

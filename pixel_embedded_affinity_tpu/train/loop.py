@@ -89,6 +89,7 @@ def build_dataset(cfg: Config):
         from ..data.bbbc import BBBCTrain, BBBCValidation
 
         train = BBBCTrain(cfg.data.data_folder, size=cfg.data.size,
+                          padding=cfg.data.bbbc_padding,
                           shifts=tuple(cfg.data.shifts),
                           neighbor=cfg.data.neighbor,
                           light=cfg.data.device_gt,
@@ -261,39 +262,65 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
     else:
         train_ds, valid_ds = build_dataset(cfg)
 
-    # HBM-resident dataset mode (CVPPP 2D): the whole padded training set
-    # is uploaded once; sampling/aug/normalization run inside the train jit
+    # HBM-resident dataset mode: the whole training set is uploaded once;
+    # sampling/aug/normalization run inside the train jit
     # (data/device_data.py). No host sampler processes, no per-step
-    # host->device batch transfer.
-    use_dr = (getattr(cfg.data, "device_resident", False)
-              and cfg.data.dataset == "cvppp"
+    # host->device batch transfer. Supported: CVPPP ('xiaoyu' chain) and
+    # AC3/AC4 (full _augs_mix), single-host.
+    dr_ok = (cfg.data.dataset == "cvppp"
+             and getattr(cfg.data, "aug_mode", "xiaoyu") == "xiaoyu") \
+        or cfg.data.dataset in ("ac3ac4", "bbbc039v1")
+    use_dr = (getattr(cfg.data, "device_resident", False) and dr_ok
               and cfg.data.device_gt and cfg.data.device_ema
-              and getattr(cfg.data, "aug_mode", "xiaoyu") == "xiaoyu"
               and data_override is None
               and jax.process_count() == 1)
     if getattr(cfg.data, "device_resident", False) and not use_dr:
         log.info("device_resident requested but unsupported for this config "
-                 "(needs cvppp + device_gt + device_ema + 'xiaoyu' aug, "
+                 "(needs cvppp 'xiaoyu' or ac3ac4, device_gt + device_ema, "
                  "single-host); using the host sampler")
 
     from ..data.provider import Provider
 
     if use_dr:
-        from ..data.device_data import load_cvppp_arrays
+        if cfg.data.dataset == "cvppp":
+            from ..data.device_data import load_cvppp_arrays
 
-        dr_images, dr_labels = load_cvppp_arrays(
-            cfg.data.data_folder, valid_set=cfg.data.valid_set,
-            padding=cfg.data.padding)
-        log.info("device-resident dataset: %d images (%s + %s = %.1f MB)",
-                 dr_images.shape[0], dr_images.shape[1:], dr_labels.dtype,
+            dr_images, dr_labels = load_cvppp_arrays(
+                cfg.data.data_folder, valid_set=cfg.data.valid_set,
+                padding=cfg.data.padding)
+            batch0 = {"image": np.zeros(
+                          (cfg.train.batch_size, cfg.data.size,
+                           cfg.data.size, 3), np.float32),
+                      "seg": np.zeros(
+                          (cfg.train.batch_size, cfg.data.size,
+                           cfg.data.size), np.int32)}
+        elif cfg.data.dataset == "bbbc039v1":
+            from ..data.device_data import load_bbbc_arrays
+
+            dr_images, dr_labels = load_bbbc_arrays(
+                cfg.data.data_folder, padding=cfg.data.bbbc_padding)
+            batch0 = {"image": np.zeros(
+                          (cfg.train.batch_size, cfg.data.size,
+                           cfg.data.size, 3), np.float32),
+                      "seg": np.zeros(
+                          (cfg.train.batch_size, cfg.data.size,
+                           cfg.data.size), np.int32)}
+        else:
+            from ..data.device_data import load_ac3ac4_arrays
+
+            cz, cy, cx = cfg.data.crop_size
+            dr_images, dr_labels = load_ac3ac4_arrays(
+                cfg.data.data_folder, dataset_name=cfg.data.dataset_name,
+                train_split=cfg.data.train_split, crop_z=cz)
+            batch0 = {"image": np.zeros(
+                          (cfg.train.batch_size, cz, cy, cx, 1),
+                          np.float32),
+                      "seg": np.zeros(
+                          (cfg.train.batch_size, cz, cy, cx), np.int32)}
+        log.info("device-resident dataset: %s images + %s labels = %.1f MB",
+                 dr_images.shape, dr_labels.dtype,
                  (dr_images.nbytes + dr_labels.nbytes) / 1e6)
         provider = None
-        batch0 = {"image": np.zeros(
-                      (cfg.train.batch_size, cfg.data.size, cfg.data.size, 3),
-                      np.float32),
-                  "seg": np.zeros(
-                      (cfg.train.batch_size, cfg.data.size, cfg.data.size),
-                      np.int32)}
     else:
         provider = Provider(train_ds, batch_size=cfg.train.batch_size,
                             num_workers=cfg.train.num_workers,
@@ -404,7 +431,8 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
     if use_dr:
         import jax.numpy as jnp
 
-        from ..data.device_data import sample_cvppp_batch
+        from ..data.device_data import (sample_ac3ac4_batch,
+                                        sample_cvppp_batch)
 
         dr_images_d = jax.device_put(jnp.asarray(dr_images), rsh)
         dr_labels_d = jax.device_put(jnp.asarray(dr_labels), rsh)
@@ -413,11 +441,29 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
             jax.random.PRNGKey(cfg.train.random_seed), 55991)
         B_, out_ = cfg.train.batch_size, cfg.data.size
 
+        if cfg.data.dataset == "cvppp":
+            def dr_sample(images, labels, key):
+                return sample_cvppp_batch(images, labels, key, B_, out=out_)
+        elif cfg.data.dataset == "bbbc039v1":
+            from ..data.device_data import sample_bbbc_batch
+
+            bpad_ = cfg.data.bbbc_padding
+
+            def dr_sample(images, labels, key):
+                return sample_bbbc_batch(images, labels, key, B_,
+                                         size=out_, padding=bpad_)
+        else:
+            crop_, pad_ = tuple(cfg.data.crop_size), cfg.data.padding_3d
+
+            def dr_sample(images, labels, key):
+                return sample_ac3ac4_batch(images, labels, key, B_,
+                                           crop_size=crop_, padding=pad_)
+
         def make_dr(length):
             def fn(st, images, labels):
                 def body(s, _):
                     key = jax.random.fold_in(dr_key, s.step)
-                    b = sample_cvppp_batch(images, labels, key, B_, out=out_)
+                    b = dr_sample(images, labels, key)
                     b = {k: jax.lax.with_sharding_constraint(v, bsh)
                          for k, v in b.items()}
                     s2, _, m = step_fn(s, b)
