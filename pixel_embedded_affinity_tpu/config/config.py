@@ -174,7 +174,8 @@ PRESETS: dict[str, dict[str, Any]] = {
                   "lr_mode": "fixed", "base_lr": 1e-4, "batch_size": 2},
         "data": {"dataset": "cvppp", "size": 544,
                  "shifts": (1, 3, 5, 9, 27), "strides": (5, 5),
-                 "device_gt": True},
+                 "device_gt": True, "device_ema": True,
+                 "device_resident": True},
     },
     "cvppp_resnet101": {
         "name": "cvppp_resnet101",
@@ -184,7 +185,8 @@ PRESETS: dict[str, dict[str, Any]] = {
                   "lr_mode": "fixed", "base_lr": 1e-4, "batch_size": 2},
         "data": {"dataset": "cvppp", "size": 544,
                  "shifts": (1, 3, 5, 9, 27), "strides": (5, 5),
-                 "device_gt": True},
+                 "device_gt": True, "device_ema": True,
+                 "device_resident": True},
     },
     # scripts_ac3ac4/config/ac3ac4.yaml parity
     "ac3ac4": {

@@ -54,8 +54,13 @@ def discriminative_loss(embedding_bhwc, seg_b, max_instances: int = 64,
     num_id = present.sum(axis=1).astype(emb.dtype)
     var_loss = (per_label.sum(axis=1) / jnp.maximum(num_id, 1.0)).mean()
 
-    # dist (push) loss between centroids
-    d = jnp.linalg.norm(means[:, :, None] - means[:, None, :], axis=-1)
+    # dist (push) loss between centroids. The reference's Python loop only
+    # ever evaluates i != j pairs of PRESENT instances; this vectorized
+    # form materializes all pairs, so the sqrt must be epsilon-guarded —
+    # norm(0) on the diagonal has a NaN gradient that the post-hoc
+    # pair_mask cannot remove (0 * nan = nan in the cotangent).
+    diff = means[:, :, None] - means[:, None, :]
+    d = jnp.sqrt(jnp.sum(diff ** 2, axis=-1) + 1e-12)
     pair_mask = (present[:, :, None] & present[:, None, :]
                  & ~jnp.eye(max_instances, dtype=bool)[None])
     push = jax.nn.relu(2 * delta_d - d) ** 2 * pair_mask
@@ -63,8 +68,9 @@ def discriminative_loss(embedding_bhwc, seg_b, max_instances: int = 64,
     dist_loss = (push.sum(axis=(1, 2)) / denom / 2.0)
     dist_loss = jnp.where(num_id > 1, dist_loss, 0.0).mean()
 
-    # reg loss on centroid norms
-    reg = jnp.linalg.norm(means, axis=-1) * present
+    # reg loss on centroid norms (same epsilon guard: absent labels have
+    # exactly-zero means)
+    reg = jnp.sqrt(jnp.sum(means ** 2, axis=-1) + 1e-12) * present
     reg_loss = (reg.sum(axis=1) / jnp.maximum(num_id, 1.0)).mean()
 
     return alpha * var_loss + beta * dist_loss + gamma * reg_loss
