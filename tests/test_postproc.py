@@ -277,3 +277,38 @@ def test_agglomerate_discretized_rebins_after_merge():
     affs2[1, 0, 6] = 0.45   # B-C score 0.55 >= 0.5
     seg2 = agglomerate(affs2, frag, threshold=0.5, discretize_queue=256)
     assert len(np.unique(seg2)) == 2
+
+
+@pytest.mark.slow
+def test_3d_decode_oracle_on_widened_gt_affinities():
+    """Full 3D decode chain on WIDENED-GT affinities (what the 3D models
+    are trained to predict — seg_widen_border'd labels, data/ac3ac4.py):
+    all three decoders must reconstruct the raw labels to low VOI. This
+    pins the decoder stack independently of model quality: razor-sharp
+    un-widened GT affinities are NOT a valid oracle (the 1-voxel boundary
+    face sits asymmetrically against the watershed basins and waterz/LMC
+    legitimately over-merge there; see STATUS round 3)."""
+    from pixel_embedded_affinity_tpu.data.ac3ac4 import synthesize_volume
+    from pixel_embedded_affinity_tpu.metrics.voi_arand import voi
+    from pixel_embedded_affinity_tpu.ops import seg_widen_border
+    from pixel_embedded_affinity_tpu.ops.affinity_np import (
+        relabel, seg_to_aff_3d_12ch)
+    from pixel_embedded_affinity_tpu.ops.offsets import offsets_3d
+    from pixel_embedded_affinity_tpu.postproc import mc_baseline, seg_mutex
+    from pixel_embedded_affinity_tpu.postproc.agglomerate import agglomerate
+    from pixel_embedded_affinity_tpu.postproc.watershed import (
+        watershed_from_affs)
+
+    _, gt_raw = synthesize_volume(d=10, h=96, w=96, n_cells=14, seed=1)
+    affs = seg_to_aff_3d_12ch(
+        seg_widen_border(gt_raw.astype(np.int64), tsz_h=1)).astype(np.float32)
+
+    frags = watershed_from_affs(affs[:3])
+    segs = {
+        "waterz": agglomerate(affs[:3], frags, threshold=0.5),
+        "lmc": mc_baseline(affs[:3]),
+        "mutex": seg_mutex(affs, offsets=offsets_3d(), strides=[1, 10, 10]),
+    }
+    for name, seg in segs.items():
+        vs, vm = voi(gt_raw.astype(np.int64), relabel(seg.astype(np.int64)))
+        assert vs + vm < 1.2, (name, vs, vm)
