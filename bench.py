@@ -208,7 +208,7 @@ def bench_tiled_3d():
     }), flush=True)
 
 
-def main(B=8, H=544, W=544, shape_label=None):
+def main(B=8, H=544, W=544, shape_label=None, int8_line=False):
     import jax
     import jax.numpy as jnp
 
@@ -300,6 +300,38 @@ def main(B=8, H=544, W=544, shape_label=None):
     dt_ref_same = timeit(model_fast, vars_fast, ref_style)
 
     mp = B * H * W / 1e6
+
+    if int8_line and on_tpu:
+        # optional int8 serving mode (model.int8_infer; ops/quant.py):
+        # measured-winning stages quantized, activation ranges calibrated
+        # on the bench input. Reported as its OWN line — the headline
+        # below stays the exact-math bf16 path (embedding cosine vs bf16
+        # > 0.999, SBD parity checked in docs/PERF.md round 3).
+        from pixel_embedded_affinity_tpu.models.fast_forward import (
+            INT8_DEFAULT_SITES, calibrate_int8_ranges)
+
+        ranges = calibrate_int8_ranges(vars_fast, [x_packed],
+                                       dtype=fast_dtype, input_format="s2d")
+        fast_q = build_fast_resunet_forward(
+            vars_fast, dtype=fast_dtype, input_format="s2d",
+            int8_sites=INT8_DEFAULT_SITES, act_ranges=ranges)
+
+        class _FastQ:
+            def apply(self, variables, image, train=False):
+                emb, mask = fast_q(image)
+                return None, None, None, None, emb, mask
+
+        dt_q = timeit(_FastQ(), vars_fast, fused, x_override=x_packed)
+        print(f"# int8 serving {dt_q*1e3:.2f} ms", file=sys.stderr,
+              flush=True)
+        print(json.dumps({
+            "metric": "megapixels/sec/chip emb2aff inference "
+                      "(ResUNet2D 544x544, int8 serving mode)",
+            "value": round(mp / dt_q, 2),
+            "unit": "MP/s/chip",
+            "vs_baseline": round((mp / dt_q) / (mp / dt_ref_f32), 3),
+            "baseline": BASELINE_NOTE,
+        }), flush=True)
     value = mp / dt_ours
     base_f32 = mp / dt_ref_f32
     base_same = mp / dt_ref_same
@@ -333,4 +365,4 @@ if __name__ == "__main__":
             fn()
         except Exception as e:  # a secondary bench must not kill the headline
             print(f"# bench section failed: {e}", file=sys.stderr, flush=True)
-    main(shape_label="ResUNet2D 544x544")
+    main(shape_label="ResUNet2D 544x544", int8_line=True)

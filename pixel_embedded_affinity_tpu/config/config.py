@@ -25,6 +25,12 @@ class ModelConfig:
     # s2d training graph for resunet2d_deep (models/resunet2d_s2d.py):
     # exact math, same checkpoint tree, faster fwd+bwd on TPU
     s2d_train: bool = True
+    # int8 inference: quantize the measured-winning fast-forward stages
+    # (ops/quant.py; calibrated on the first batch per shape). ~8% faster
+    # on v5e with embedding cosine > 0.999 vs bf16 (docs/PERF.md r3);
+    # default OFF — the reference runs f32 and the quality deltas, while
+    # tiny, are nonzero (tests/test_int8_quant.py pins them)
+    int8_infer: bool = False
 
 
 @dataclass

@@ -88,6 +88,31 @@ def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None
         embedding = embedding.astype(jnp.float32)
         return _aff(embedding), embedding, pred_mask
 
+    _q = {"fn": None}
+
+    def forward_fast_int8(packed):
+        # model.int8_infer: calibrate activation ranges on the first image
+        # of the run, then reuse the quantized forward (ops/quant.py;
+        # ~8% on v5e at embedding cosine > 0.999 — docs/PERF.md r3)
+        if _q["fn"] is None:
+            from ..models.fast_forward import (INT8_DEFAULT_SITES,
+                                               calibrate_int8_ranges)
+
+            ranges = calibrate_int8_ranges(variables, [packed], dtype=fdt,
+                                           input_format="s2d")
+            qfwd = build_fast_resunet_forward(
+                variables, dtype=fdt, input_format="s2d",
+                int8_sites=INT8_DEFAULT_SITES, act_ranges=ranges)
+
+            @jax.jit
+            def f(p):
+                embedding, pred_mask = qfwd(p)
+                embedding = embedding.astype(jnp.float32)
+                return _aff(embedding), embedding, pred_mask
+
+            _q["fn"] = f
+        return _q["fn"](packed)
+
     @jax.jit
     def forward_slow(image):
         _, _, _, _, embedding, pred_mask = model.apply(variables, image,
@@ -99,7 +124,9 @@ def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None
                 and image_np.shape[2] % 16 == 0:
             from ..models.fast_forward import pack_image_s2d
 
-            return forward_fast(pack_image_s2d(image_np))
+            fwd = (forward_fast_int8 if cfg.model.int8_infer
+                   else forward_fast)
+            return fwd(pack_image_s2d(image_np))
         return forward_slow(image_np)
 
     results = []

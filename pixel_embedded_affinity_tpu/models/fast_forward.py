@@ -27,6 +27,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ..ops.quant import (act_scale_from_absmax, conv_i8, quantize_act,
+                         quantize_weights_per_cout)
 from ..ops.s2d import (space_to_depth, depth_to_space, s2d_conv_weights,
                        s2d_conv2x2_weights, s2d_conv2x2_weights_qx)
 from ..ops.s2d_block_pallas import fused_s2d_block
@@ -93,9 +95,19 @@ class _BlockW:
     two tensors (decoder skip): conv(concat(a, b), W) is computed as
     conv(a, W[:, :, :split]) + conv(b, W[:, :, split:]) — the concat never
     materializes and (in s2d form) the fat 4*(Ca+Cb)-channel conv becomes
-    two slimmer ones."""
+    two slimmer ones.
 
-    def __init__(self, p, s, dtype, s2d, split_at: int | None = None):
+    ``int8_c1``/``int8_c2``: run that conv in int8 (symmetric, per-output-
+    channel weight scales over the PREPARED kernel, static activation scale
+    from ``scales`` — see ops/quant.py). Measured 1.3-1.6x at the fat
+    decoder shapes on v5e (docs/profile_int8.py); per-stage opt-in because
+    thin-channel convs LOSE in int8. ``collect``: a dict that __call__
+    fills with max|x| at each quantization site (calibration mode)."""
+
+    def __init__(self, p, s, dtype, s2d, split_at: int | None = None,
+                 name: str = "", int8_c1: bool = False,
+                 int8_c2: bool = False, scales: dict | None = None,
+                 collect: dict | None = None):
         # s2d: False = direct-resolution convs; "dense" = dense 3x3
         # block-space kernels (4x direct FLOPs, fewest ops); "2x2" = per-
         # output-parity 2x2 kernels (1.78x FLOPs) in XLA; "pallas" = the
@@ -107,6 +119,13 @@ class _BlockW:
         self.s2d = s2d
         self.split_at = split_at
         self.interpret = False  # pallas interpret mode (tests)
+        self.name = name
+        self.int8_c1 = int8_c1
+        self.int8_c2 = int8_c2
+        self.scales = scales or {}
+        self.collect = collect
+        if (int8_c1 or int8_c2) and s2d == "pallas":
+            raise ValueError("int8 not supported on the pallas block form")
 
         folded = {}
         for conv_name, bn_name in (("conv1", "bn1"), ("conv2", "bn2"),
@@ -120,6 +139,7 @@ class _BlockW:
             folded[conv_name] = (p[conv_name]["kernel"].astype(jnp.float32)
                                  * scale, shift)
 
+        self.dtype = dtype
         if s2d is False or s2d == "dense":
             # conv1 and project share the block input: run them as ONE
             # conv with output channels [conv1-block | project-block]
@@ -133,7 +153,7 @@ class _BlockW:
             def prep(wpart):
                 if s2d == "dense":
                     wpart = s2d_conv_weights(wpart)
-                return wpart.astype(dtype)
+                return wpart  # f32; cast/quantize below
 
             def prep1p(wa, wb):
                 return jnp.concatenate([prep(wa), prep(wb)], axis=3)
@@ -143,13 +163,35 @@ class _BlockW:
                 hp = jnp.tile(hp, 4)
                 h2 = jnp.tile(h2, 4)
             if split_at is not None:
-                self.w1p = (prep1p(w1[:, :, :split_at], wp[:, :, :split_at]),
-                            prep1p(w1[:, :, split_at:], wp[:, :, split_at:]))
+                w1p = (prep1p(w1[:, :, :split_at], wp[:, :, :split_at]),
+                       prep1p(w1[:, :, split_at:], wp[:, :, split_at:]))
             else:
-                self.w1p = prep1p(w1, wp)
-            self.h1p_ = jnp.concatenate([h1, hp]).astype(dtype)
-            self.w2 = prep(w2)
-            self.h2_ = h2.astype(dtype)
+                w1p = prep1p(w1, wp)
+            h1p = jnp.concatenate([h1, hp])
+            if int8_c1:
+                self.sx1 = act_scale_from_absmax(self.scales["c1"])
+                if split_at is not None:
+                    self.sx1b = act_scale_from_absmax(self.scales["c1b"])
+                    qa, sa = quantize_weights_per_cout(w1p[0])
+                    qb, sb = quantize_weights_per_cout(w1p[1])
+                    self.w1p = (qa, qb)
+                    self.o1p = (sa * self.sx1, sb * self.sx1b)
+                else:
+                    q, sw = quantize_weights_per_cout(w1p)
+                    self.w1p, self.o1p = q, sw * self.sx1
+                self.h1p_ = h1p.astype(jnp.float32)
+            else:
+                self.w1p = (tuple(w.astype(dtype) for w in w1p)
+                            if split_at is not None else w1p.astype(dtype))
+                self.h1p_ = h1p.astype(dtype)
+            if int8_c2:
+                self.sx2 = act_scale_from_absmax(self.scales["c2"])
+                q, sw = quantize_weights_per_cout(prep(w2))
+                self.w2, self.o2 = q, sw * self.sx2
+                self.h2_ = h2.astype(jnp.float32)
+            else:
+                self.w2 = prep(w2).astype(dtype)
+                self.h2_ = h2.astype(dtype)
             self.n1 = (4 if s2d == "dense" else 1) * self.c1
             return
 
@@ -171,7 +213,7 @@ class _BlockW:
             ka = ka.reshape(kh, kw, ci, 2, -1)
             kb = kb.reshape(kh, kw, ci, 2, -1)
             return (jnp.concatenate([ka, kb], axis=-1)
-                    .reshape(kh, kw, ci, -1).astype(dtype))
+                    .reshape(kh, kw, ci, -1))  # f32; cast/quantize below
 
         def fuse_full(wa, wb):
             ka = s2d_conv2x2_weights(wa)
@@ -198,16 +240,42 @@ class _BlockW:
         if split_at is not None:
             # each split part arrives as its own s2d tensor, so the 2x2
             # kernels are built from the per-part direct kernels
-            self.k1p = tuple(
+            k1p = tuple(
                 (fuse(w1[:, :, :split_at], wp[:, :, :split_at], qx),
                  fuse(w1[:, :, split_at:], wp[:, :, split_at:], qx))
                 for qx in range(2))
         else:
-            self.k1p = tuple(fuse(w1, wp, qx) for qx in range(2))
-        self.h1p = jnp.tile(jnp.concatenate([h1, hp]), 2).astype(dtype)
-        self.k2 = tuple(s2d_conv2x2_weights_qx(w2, qx).astype(dtype)
-                        for qx in range(2))
-        self.h2 = jnp.tile(h2, 2).astype(dtype)
+            k1p = tuple(fuse(w1, wp, qx) for qx in range(2))
+        h1p = jnp.tile(jnp.concatenate([h1, hp]), 2)
+        k2 = tuple(s2d_conv2x2_weights_qx(w2, qx) for qx in range(2))
+        h2t = jnp.tile(h2, 2)
+        if int8_c1:
+            self.sx1 = act_scale_from_absmax(self.scales["c1"])
+            if split_at is not None:
+                self.sx1b = act_scale_from_absmax(self.scales["c1b"])
+                qs = tuple((quantize_weights_per_cout(ka),
+                            quantize_weights_per_cout(kb))
+                           for ka, kb in k1p)
+                self.k1p = tuple((a[0], b[0]) for a, b in qs)
+                self.o1p = tuple((a[1] * self.sx1, b[1] * self.sx1b)
+                                 for a, b in qs)
+            else:
+                qs = tuple(quantize_weights_per_cout(k) for k in k1p)
+                self.k1p = tuple(q for q, _ in qs)
+                self.o1p = tuple(sw * self.sx1 for _, sw in qs)
+            self.h1p = h1p.astype(jnp.float32)
+        else:
+            self.k1p = jax.tree.map(lambda k: k.astype(dtype), k1p)
+            self.h1p = h1p.astype(dtype)
+        if int8_c2:
+            self.sx2 = act_scale_from_absmax(self.scales["c2"])
+            qs = tuple(quantize_weights_per_cout(k) for k in k2)
+            self.k2 = tuple(q for q, _ in qs)
+            self.o2 = tuple(sw * self.sx2 for _, sw in qs)
+            self.h2 = h2t.astype(jnp.float32)
+        else:
+            self.k2 = tuple(k.astype(dtype) for k in k2)
+            self.h2 = h2t.astype(dtype)
 
     def _in_conv(self, x, w, conv=_conv):
         if self.split_at is not None:
@@ -215,6 +283,27 @@ class _BlockW:
             wa, wb = w
             return conv(a, wa) + conv(b, wb)
         return conv(x, w)
+
+    def _record_c1(self, x):
+        if self.split_at is not None:
+            a, b = x
+            self.collect[f"{self.name}.c1"] = jnp.max(
+                jnp.abs(a)).astype(jnp.float32)
+            self.collect[f"{self.name}.c1b"] = jnp.max(
+                jnp.abs(b)).astype(jnp.float32)
+        else:
+            self.collect[f"{self.name}.c1"] = jnp.max(
+                jnp.abs(x)).astype(jnp.float32)
+
+    def _c1_int8(self, x, conv=_conv):
+        """conv1+project in int8; returns the f32 pre-activation."""
+        if self.split_at is not None:
+            a, b = x
+            return (conv_i8(conv, quantize_act(a, self.sx1),
+                            self.w1p[0], self.o1p[0])
+                    + conv_i8(conv, quantize_act(b, self.sx1b),
+                              self.w1p[1], self.o1p[1]))
+        return conv_i8(conv, quantize_act(x, self.sx1), self.w1p, self.o1p)
 
     def __call__(self, x):
         if self.s2d == "pallas":
@@ -227,34 +316,76 @@ class _BlockW:
                                    tile_h=tile_h, interpret=self.interpret)
         if self.s2d == "2x2":
             return self._call_s2d(x)
-        v = self._in_conv(x, self.w1p) + self.h1p_
+        if self.collect is not None:
+            self._record_c1(x)
+        if self.int8_c1:
+            v = self._c1_int8(x) + self.h1p_
+        else:
+            v = self._in_conv(x, self.w1p) + self.h1p_
         y = jax.nn.relu(v[..., :self.n1])
         proj = v[..., self.n1:]
-        y = _conv(y, self.w2) + self.h2_
-        return jax.nn.relu(y + proj)
+        if self.collect is not None:
+            self.collect[f"{self.name}.c2"] = jnp.max(
+                jnp.abs(y)).astype(jnp.float32)
+        if self.int8_c2:
+            y2 = conv_i8(_conv, quantize_act(y, self.sx2), self.w2,
+                         self.o2, self.h2_)
+        else:
+            y2 = _conv(y.astype(self.dtype), self.w2) + self.h2_
+        return jax.nn.relu(y2 + proj).astype(self.dtype)
 
     def _call_s2d(self, x):
         convs = (_conv2x2_x0, _conv2x2_x1)
         g = self.c1 + self.cp
         y_parts, p_parts = [None] * 4, [None] * 4
         h = None
+        if self.collect is not None:
+            self._record_c1(x)
+        if self.int8_c1:
+            # quantize the input once; both qx convs share it
+            if self.split_at is not None:
+                xq = (quantize_act(x[0], self.sx1),
+                      quantize_act(x[1], self.sx1b))
+            else:
+                xq = quantize_act(x, self.sx1)
         for qx in range(2):
-            v = self._in_conv(x, self.k1p[qx], conv=convs[qx]) + self.h1p
+            if self.int8_c1:
+                if self.split_at is not None:
+                    v = (conv_i8(convs[qx], xq[0], self.k1p[qx][0],
+                                 self.o1p[qx][0])
+                         + conv_i8(convs[qx], xq[1], self.k1p[qx][1],
+                                   self.o1p[qx][1]) + self.h1p)
+                else:
+                    v = conv_i8(convs[qx], xq, self.k1p[qx],
+                                self.o1p[qx], self.h1p)
+            else:
+                v = self._in_conv(x, self.k1p[qx], conv=convs[qx]) + self.h1p
             h = v.shape[1] - 1
             for qy in range(2):
                 blk = v[:, qy:qy + h, :, qy * g:(qy + 1) * g]
                 y_parts[2 * qy + qx] = jax.nn.relu(blk[..., :self.c1])
                 p_parts[2 * qy + qx] = blk[..., self.c1:]
         y1 = jnp.concatenate(y_parts, axis=-1)
+        if self.collect is not None:
+            self.collect[f"{self.name}.c2"] = jnp.max(
+                jnp.abs(y1)).astype(jnp.float32)
+        if self.int8_c2:
+            y1q = quantize_act(y1, self.sx2)
+        elif self.int8_c1:
+            y1 = y1.astype(self.dtype)
         outs = [None] * 4
         for qx in range(2):
-            v2 = convs[qx](y1, self.k2[qx]) + self.h2
+            if self.int8_c2:
+                v2 = conv_i8(convs[qx], y1q, self.k2[qx], self.o2[qx],
+                             self.h2)
+            else:
+                v2 = convs[qx](y1, self.k2[qx]) + self.h2
             for qy in range(2):
                 q = 2 * qy + qx
                 outs[q] = jax.nn.relu(
                     v2[:, qy:qy + h, :, qy * self.c2:(qy + 1) * self.c2]
                     + p_parts[q])
-        return jnp.concatenate(outs, axis=-1)
+        return jnp.concatenate(outs, axis=-1).astype(self.dtype)
 
 
 def _pool_s2d_to_direct(x_s2d):
@@ -280,24 +411,60 @@ def pack_image_s2d(image_nhwc):
     return np.ascontiguousarray(x.reshape(b, h // 2, w // 2, 4 * c))
 
 
+# int8 stage sites that WIN on v5e (docs/profile_int8.py isolated probe +
+# docs/profile_int8_ctx.py in-context A/B, docs/PERF.md round 3): every
+# conv EXCEPT the thin-channel K-starved ones (inconv.c1 Cin=12,
+# down1.c1/down3.c1 Cin<=64), which measured slower in int8. In-context:
+# 38.4 -> 35.0 ms on the B=8 544^2 bench forward (+9.9%).
+INT8_DEFAULT_SITES = (
+    "inconv.c2", "down1.c2", "down2.c1", "down2.c2", "down3.c2",
+    "down4.c1", "down4.c2", "up1.c1", "up1.c2", "up2.c1", "up2.c2",
+    "up3.c1", "up3.c2", "up4.c1", "up4.c2")
+
+
 def build_fast_resunet_forward(variables, *, dtype=jnp.bfloat16,
                                with_mask: bool = True,
-                               input_format: str = "nhwc"):
+                               input_format: str = "nhwc",
+                               int8_sites=None, act_ranges=None,
+                               collect_ranges: bool = False):
     """Returns fn(image) -> (embedding, mask_logits) matching
     ResidualUNet2DDeep.apply(variables, image, train=False)[4:6].
 
     input_format="s2d": the function takes a host-packed image
-    (pack_image_s2d) instead of NHWC."""
+    (pack_image_s2d) instead of NHWC.
+
+    int8_sites + act_ranges: run the named stage convs in int8
+    (ops/quant.py; sites like "up4.c1"; act_ranges maps site -> calibrated
+    max|activation|, from calibrate_int8_ranges). collect_ranges=True
+    instead makes the returned fn yield (emb, mask, ranges) where ranges
+    maps every candidate site to max|x| of the call (calibration mode)."""
     import flax.linen as nn
 
     params = variables["params"]
     stats = variables["batch_stats"]
+    int8_sites = frozenset(int8_sites or ())
+    if int8_sites and not collect_ranges:
+        missing = {s for s in int8_sites
+                   if s not in (act_ranges or {})}
+        if missing:
+            raise ValueError(f"int8 sites lack calibrated ranges: {missing}")
+    ranges_out: dict = {}
 
     def blk(scope, s2d, split_at=None):
+        scales = {k[len(scope) + 1:]: v for k, v in (act_ranges or {}).items()
+                  if k.startswith(scope + ".")}
+        if f"{scope}.c1" in int8_sites and split_at is not None \
+                and "c1b" not in scales:
+            raise ValueError(f"{scope}.c1 is split; calibrate {scope}.c1b")
         return _BlockW(params[scope]["block"] if "block" in params[scope]
                        else params[scope],
                        stats[scope]["block"] if "block" in stats[scope]
-                       else stats[scope], dtype, s2d, split_at=split_at)
+                       else stats[scope], dtype, s2d, split_at=split_at,
+                       name=scope,
+                       int8_c1=f"{scope}.c1" in int8_sites,
+                       int8_c2=f"{scope}.c2" in int8_sites,
+                       scales=scales,
+                       collect=ranges_out if collect_ranges else None)
 
     f1 = params["down1"]["block"]["conv2"]["kernel"].shape[3]   # 32
     f2 = params["down2"]["block"]["conv2"]["kernel"].shape[3]   # 64
@@ -408,6 +575,28 @@ def build_fast_resunet_forward(variables, *, dtype=jnp.bfloat16,
         emb_s = conv1x1_s2d(ys, "outconv_emb")
         embedding = depth_to_space(emb_s)
         mask = mask_head_s2d(ys)
+        if collect_ranges:
+            return embedding, mask, dict(ranges_out)
         return embedding, mask
 
     return forward
+
+
+def calibrate_int8_ranges(variables, images, *, dtype=jnp.bfloat16,
+                          with_mask: bool = True,
+                          input_format: str = "nhwc"):
+    """Run the (non-quantized) fast forward over calibration batches and
+    return {site: max|activation|} for every int8-candidate site. Feed the
+    result to build_fast_resunet_forward(act_ranges=...). ``images`` is an
+    iterable of batches in the given input_format."""
+    fwd = build_fast_resunet_forward(variables, dtype=dtype,
+                                     with_mask=with_mask,
+                                     input_format=input_format,
+                                     collect_ranges=True)
+    jfwd = jax.jit(lambda im: fwd(im)[2])
+    ranges: dict = {}
+    for im in images:
+        batch_ranges = jax.device_get(jfwd(im))
+        for k, v in batch_ranges.items():
+            ranges[k] = max(ranges.get(k, 0.0), float(v))
+    return ranges

@@ -39,6 +39,100 @@ def embedding_pca(embedding_hwc: np.ndarray) -> np.ndarray:
     return (proj.reshape(h, w, 3) * 255).astype(np.uint8)
 
 
+def embedding_slic(embedding_hwc: np.ndarray, n_segments: int = 100,
+                   compactness: float = 10.0, n_iter: int = 10,
+                   run_pca: bool = True) -> np.ndarray:
+    """SLIC superpixels over the (PCA-RGB) embedding — the reference's
+    scripts_ac3ac4/utils/embeddings.py:35-46 viz utility (there via
+    skimage.segmentation.slic; skimage is absent from this image, so this
+    is a small in-repo SLIC: k-means in scaled (color, x, y) space with
+    local window assignment, plus a connectivity sweep). Returns (H, W)
+    int32 labels starting at 1, like skimage's."""
+    emb = np.asarray(embedding_hwc)
+    color = (embedding_pca(emb).astype(np.float64)
+             if run_pca or emb.shape[-1] != 3 else emb.astype(np.float64))
+    h, w, _ = color.shape
+    s = max(int(np.sqrt(h * w / n_segments)), 1)
+    # scale so color distances and spatial distances are comparable
+    # (skimage convention: spatial term weighted compactness/S)
+    ratio = compactness / s
+    gy = np.arange(s // 2, h, s)
+    gx = np.arange(s // 2, w, s)
+    centers = np.array([[y, x] for y in gy for x in gx], np.float64)
+    feat = np.concatenate(
+        [color, np.mgrid[0:h, 0:w].transpose(1, 2, 0) * ratio], axis=-1)
+    cfeat = np.array([feat[int(y), int(x)] for y, x in centers])
+    labels = np.zeros((h, w), np.int64)
+    dist = np.full((h, w), np.inf)
+    for _ in range(n_iter):
+        dist[:] = np.inf
+        for k, (cy, cx) in enumerate(centers):
+            y0, y1 = max(int(cy) - 2 * s, 0), min(int(cy) + 2 * s + 1, h)
+            x0, x1 = max(int(cx) - 2 * s, 0), min(int(cx) + 2 * s + 1, w)
+            d = ((feat[y0:y1, x0:x1] - cfeat[k]) ** 2).sum(-1)
+            m = d < dist[y0:y1, x0:x1]
+            dist[y0:y1, x0:x1][m] = d[m]
+            labels[y0:y1, x0:x1][m] = k
+        for k in range(len(centers)):
+            sel = labels == k
+            if sel.any():
+                cfeat[k] = feat[sel].mean(axis=0)
+                yy, xx = np.nonzero(sel)
+                centers[k] = (yy.mean(), xx.mean())
+    # connectivity: small stray components absorb into a neighbor label
+    # (flood fill; no scipy/skimage dependency)
+    out = _enforce_connectivity(labels)
+    return (out + 1).astype(np.int32)
+
+
+def _enforce_connectivity(labels: np.ndarray) -> np.ndarray:
+    """Relabel connected components, then merge any component smaller than
+    a quarter of the mean size into its most frequent neighbor label."""
+    h, w = labels.shape
+    comp = -np.ones((h, w), np.int64)
+    sizes = []
+    parent_label = []
+    nxt = 0
+    for y in range(h):
+        for x in range(w):
+            if comp[y, x] != -1:
+                continue
+            stack = [(y, x)]
+            comp[y, x] = nxt
+            lab = labels[y, x]
+            n = 0
+            while stack:
+                cy, cx = stack.pop()
+                n += 1
+                for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    ny, nx_ = cy + dy, cx + dx
+                    if 0 <= ny < h and 0 <= nx_ < w and comp[ny, nx_] == -1 \
+                            and labels[ny, nx_] == lab:
+                        comp[ny, nx_] = nxt
+                        stack.append((ny, nx_))
+            sizes.append(n)
+            parent_label.append(lab)
+            nxt += 1
+    sizes = np.asarray(sizes)
+    min_size = max(int(sizes.mean() / 4), 1)
+    out = comp.copy()
+    for c in np.nonzero(sizes < min_size)[0]:
+        sel = out == c
+        # most frequent neighboring component
+        neigh = []
+        yy, xx = np.nonzero(sel)
+        for cy, cx in zip(yy, xx):
+            for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                ny, nx_ = cy + dy, cx + dx
+                if 0 <= ny < h and 0 <= nx_ < w and not sel[ny, nx_]:
+                    neigh.append(out[ny, nx_])
+        if neigh:
+            vals, cnt = np.unique(neigh, return_counts=True)
+            out[sel] = vals[np.argmax(cnt)]
+    _, out = np.unique(out, return_inverse=True)
+    return out.reshape(h, w)
+
+
 def _to_u8(img: np.ndarray) -> np.ndarray:
     img = np.asarray(img, np.float32)
     lo, hi = img.min(), img.max()

@@ -129,6 +129,27 @@ def test_show_utils(tmp_path):
     assert os.path.exists(str(tmp_path / "000002.png"))
 
 
+def test_embedding_slic_segments_piecewise_constant_embedding():
+    """SLIC viz (reference scripts_ac3ac4/utils/embeddings.py:35-46): on a
+    piecewise-constant embedding the superpixels must not straddle the
+    quadrant boundaries, and labels must be a dense 1..K range."""
+    from pixel_embedded_affinity_tpu.utils.show import embedding_slic
+
+    emb = np.zeros((48, 48, 8))
+    emb[:24, :24, 0] = 4.0
+    emb[:24, 24:, 1] = 4.0
+    emb[24:, :24, 2] = 4.0
+    emb[24:, 24:, 3] = 4.0
+    seg = embedding_slic(emb, n_segments=16, n_iter=5)
+    assert seg.shape == (48, 48) and seg.min() == 1
+    assert np.array_equal(np.unique(seg), np.arange(1, seg.max() + 1))
+    assert seg.max() >= 4
+    # each superpixel stays inside one quadrant
+    quad = (np.add.outer((np.arange(48) >= 24) * 2, np.arange(48) >= 24))
+    for k in range(1, seg.max() + 1):
+        assert len(np.unique(quad[seg == k])) == 1, k
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from pixel_embedded_affinity_tpu.train.checkpoint import (
         save_checkpoint, load_checkpoint, latest_checkpoint)
