@@ -89,6 +89,43 @@ def test_int8_forward_close_to_f32_on_normalized_embedding():
     assert agree > 0.995, agree
 
 
+def test_int8_on_converted_torch_fixture_weights():
+    """int8 closeness on REAL (torch-converted) weights, not random init:
+    the committed parity fixture's weights through the quantized fast
+    forward must track the f32 fast forward on the normalized embedding
+    and the derived affinities."""
+    import os
+
+    from pixel_embedded_affinity_tpu.ops import embedding_to_affinity_2d
+    from pixel_embedded_affinity_tpu.train.convert_torch import (
+        convert_resunet2d_deep, to_jax_variables)
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "resunet2d_deep.npz")
+    data = np.load(path)
+    sd = {k[3:]: data[k] for k in data.files if k.startswith("sd/")}
+    variables = to_jax_variables(convert_resunet2d_deep(sd))
+    x = np.transpose(data["input"], (0, 2, 3, 1))
+
+    f32_fwd = build_fast_resunet_forward(variables, dtype=jnp.float32)
+    ranges = calibrate_int8_ranges(variables, [x], dtype=jnp.float32)
+    q_fwd = build_fast_resunet_forward(
+        variables, dtype=jnp.float32,
+        int8_sites=INT8_DEFAULT_SITES, act_ranges=ranges)
+
+    emb_f, _ = f32_fwd(x)
+    emb_q, _ = q_fwd(x)
+    offsets = tuple(map(tuple, data["offsets"]))
+    aff_f = np.asarray(embedding_to_affinity_2d(emb_f, offsets,
+                                                padding="circular"))
+    aff_q = np.asarray(embedding_to_affinity_2d(emb_q, offsets,
+                                                padding="circular"))
+    # affinities are cosine similarities in [-1, 1]; int8 rounding must
+    # stay far below any decode threshold's resolution
+    assert np.abs(aff_f - aff_q).max() < 0.05
+    assert np.abs(aff_f - aff_q).mean() < 0.005
+
+
 def test_int8_requires_calibrated_ranges():
     variables, _ = _tiny_setup()
     with pytest.raises(ValueError, match="lack calibrated ranges"):
