@@ -349,10 +349,43 @@ def main(B=8, H=544, W=544, shape_label=None, int8_line=False):
     }), flush=True)
 
 
+def _require_device(timeout_s: float = 600.0):
+    """Bound the first backend touch: on this environment jax.devices()
+    HANGS (not errors) while the axon tunnel is down, which would wedge the
+    driver's end-of-round bench forever. Probe in a daemon thread; on
+    timeout emit one honest JSON line and exit non-zero."""
+    import os
+    import threading
+
+    done = threading.Event()
+    info = {}
+
+    def probe():
+        import jax
+
+        info["platform"] = jax.devices()[0].platform
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": "megapixels/sec/chip emb2aff inference",
+            "value": 0.0,
+            "unit": "MP/s/chip",
+            "vs_baseline": 0.0,
+            "error": f"device backend unavailable (no response in "
+                     f"{timeout_s:.0f}s; axon tunnel down?)",
+        }), flush=True)
+        os._exit(1)
+    print(f"# device platform: {info['platform']}", file=sys.stderr,
+          flush=True)
+
+
 if __name__ == "__main__":
     import os
 
     _enable_compile_cache()
+    _require_device()
     # secondary pipeline benches first; the headline inference line LAST
     # (the driver parses the last JSON line)
     extras = [bench_train_2d, bench_tiled_3d]
