@@ -131,12 +131,12 @@ def bench_tiled_3d():
     """3D tiled-inference throughput (BASELINE config 5).
 
     Ours: the ONE-DISPATCH device-resident engine (whole Gaussian-blend
-    tile sweep as a single jitted lax.scan; canvases stay in HBM).
-    Baseline: the reference's engine PATTERN — per-tile-batch dispatch with
+    tile sweep as a single jitted lax.scan; canvases stay in HBM) with the
+    bf16 predictor (model.bf16_tiled_infer serving mode; embedding cast
+    back to f32 before the affinity dot — 1.28x in-scan, docs/PERF.md r3).
+    Baseline: the reference-faithful pattern — per-tile-batch dispatch with
     host-side accumulation (provider_valid.py:212-335 round-trips every
-    tile) — running the IDENTICAL predictor graph. This line measures the
-    engine redesign; the predictor is dense f32 + roll affinities in both
-    (per docs/PERF.md round-3 A/B, the fastest in-scan predictor)."""
+    tile) running the dense f32 predictor, as the reference serves."""
     import jax
     import jax.numpy as jnp
 
@@ -149,6 +149,9 @@ def bench_tiled_3d():
     on_tpu = jax.devices()[0].platform == "tpu"
     cfg = load_config("ac3ac4")
     model = build_model(cfg)
+    cfg_bf = load_config("ac3ac4")
+    cfg_bf.model.dtype = "bfloat16"
+    model_bf16 = build_model(cfg_bf)
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((1, 18, 160, 160, 1), jnp.float32)
     variables = jax.jit(functools.partial(model.init, train=False))(rng, x0)
@@ -158,11 +161,17 @@ def bench_tiled_3d():
                               padding=(4, 48, 48), batch_size=4,
                               device_accumulate=False)
 
-    @jax.jit
-    def predict(tiles):
-        outs = model.apply(variables, tiles, train=False)
-        emb = outs[-1] if isinstance(outs, (tuple, list)) else outs
-        return jax.nn.relu(embedding_to_affinity_3d(emb, tuple(SHIFTS_3D)))
+    def make_predict(mdl):
+        @jax.jit
+        def predict(tiles):
+            outs = mdl.apply(variables, tiles, train=False)
+            emb = outs[-1] if isinstance(outs, (tuple, list)) else outs
+            return jax.nn.relu(embedding_to_affinity_3d(
+                emb.astype(jnp.float32), tuple(SHIFTS_3D)))
+        return predict
+
+    predict = make_predict(model)
+    predict_bf16 = make_predict(model_bf16 if on_tpu else model)
 
     @jax.jit
     def _reduce(cv, wm):  # scalar completion probe (eager ops are banned
@@ -174,7 +183,7 @@ def bench_tiled_3d():
             # ~250 MB canvas download would measure the tunnel, not the
             # engine — deployment consumes canvases on device)
             cv, wm = engine.run_device_resident(
-                vol, predict, n_channels=len(SHIFTS_3D), fetch=False)
+                vol, predict_bf16, n_channels=len(SHIFTS_3D), fetch=False)
             float(_reduce(cv, wm))
         once()  # compile + warm
         print("# compiled tiled-3d", file=sys.stderr, flush=True)
@@ -199,12 +208,14 @@ def bench_tiled_3d():
           flush=True)
     print(json.dumps({
         "metric": "3D tiled-inference throughput (PNI UNet, 20x320x320 vol,"
-                  " Gaussian-blend stitching, one-dispatch engine)",
+                  " Gaussian-blend stitching, one-dispatch engine, bf16"
+                  " predictor)",
         "value": round(mvox / dt_ours, 2),
         "unit": "MVox/s/chip",
         "vs_baseline": round(dt_ref / dt_ours, 3),
-        "baseline": "same predictor graph through the reference-pattern "
-                    "engine (per-tile-batch dispatch + host accumulation)",
+        "baseline": "f32 predictor through the reference-pattern engine "
+                    "(per-tile-batch dispatch + host accumulation, as the "
+                    "reference serves)",
     }), flush=True)
 
 

@@ -32,7 +32,16 @@ def main():
                         help="dotted key=value overrides")
     parser.add_argument("--decoders", type=str, default="mutex,waterz,lmc",
                         help="3D decoders to run (comma-separated)")
+    parser.add_argument("--one-dispatch", action="store_true",
+                        help="2D: force the whole image set through ONE jit "
+                             "dispatch (exact same math; amortizes the "
+                             "per-dispatch link latency; default on TPU)")
+    parser.add_argument("--serial", action="store_true",
+                        help="2D: force per-image dispatch (the reference "
+                             "pattern) instead of the one-dispatch scan")
     args = parser.parse_args()
+    one_dispatch = True if args.one_dispatch else (False if args.serial
+                                                   else None)
 
     from pixel_embedded_affinity_tpu.config import load_config
     from pixel_embedded_affinity_tpu.train.loop import build_dataset
@@ -74,7 +83,8 @@ def main():
 
         ds = CVPPPTest(cfg.data.data_folder, padding=cfg.data.padding)
         out = args.out or "submission.h5"
-        segs, names = run_cvppp_test(cfg, variables, ds, out)
+        segs, names = run_cvppp_test(cfg, variables, ds, out,
+                                     one_dispatch=one_dispatch)
         print(json.dumps({"submission": out, "images": len(names)}))
     else:
         from pixel_embedded_affinity_tpu.infer import run_inference_2d
@@ -89,7 +99,8 @@ def main():
             _, valid = build_dataset(cfg)
         per_image, agg = run_inference_2d(cfg, variables, valid,
                                           out_dir=args.out,
-                                          save_h5=args.out is not None)
+                                          save_h5=args.out is not None,
+                                          one_dispatch=one_dispatch)
         print(json.dumps(agg))
 
 

@@ -31,6 +31,12 @@ class ModelConfig:
     # default OFF — the reference runs f32 and the quality deltas, while
     # tiny, are nonzero (tests/test_int8_quant.py pins them)
     int8_infer: bool = False
+    # bf16 compute for the tiled 3D inference predictor only (the
+    # embedding is cast back to f32 before the affinity dot). Unlike the
+    # structural rewrites, a dtype-only change survives the one-dispatch
+    # scan engine: 1.28x measured in-scan (docs/PERF.md r3). Default OFF
+    # for reference parity (the reference serves f32).
+    bf16_tiled_infer: bool = False
 
 
 @dataclass

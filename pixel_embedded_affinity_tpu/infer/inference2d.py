@@ -25,8 +25,21 @@ from ..metrics import (
 
 
 def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None,
-                     use_pallas: bool | None = None, save_h5: bool = False):
-    """Returns per-image metric dict list + aggregate means."""
+                     use_pallas: bool | None = None, save_h5: bool = False,
+                     one_dispatch: bool | None = None):
+    """Returns per-image metric dict list + aggregate means.
+
+    ``one_dispatch=True`` runs the WHOLE image set through the forward as a
+    single jitted ``lax.scan`` and fetches the stacked affinities once,
+    instead of one dispatch + one fetch per image. Exact same per-image
+    math (decode metrics measured bit-identical); on a dispatch-latency-
+    bound link (seconds per jit call on the tunneled chip, docs/PERF.md
+    round 3) this removes N-1 round-trips — 12-image CVPPP CLI wall
+    164 -> 83 s (1.97x). Software-pipelining dispatch against fetch is
+    pathological on such links — a single dispatch is the safe
+    amortization. Default (None): on for TPU, off on CPU. Falls back to
+    the serial path when images are ragged-shaped or there is only one.
+    """
     import jax
 
     from ..train.loop import build_model
@@ -129,17 +142,85 @@ def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None
             return fwd(pack_image_s2d(image_np))
         return forward_slow(image_np)
 
+    def _forward_all(samples):
+        """One jitted lax.scan over the stacked image set; one fetch.
+        Per-image math identical to ``forward`` (same forward graph, same
+        fused affinity); only the dispatch pattern changes."""
+        import jax.numpy as jnp
+
+        need_mask = bool(cfg.train.mask_weight)
+        imgs = np.stack([s["image"] for s in samples])
+        use_fast = (fast_packed_fn is not None
+                    and imgs.shape[1] % 16 == 0 and imgs.shape[2] % 16 == 0)
+        if use_fast:
+            from ..models.fast_forward import pack_image_s2d
+
+            stack = jnp.asarray(pack_image_s2d(imgs)).astype(fdt)
+            if cfg.model.int8_infer:
+                from ..models.fast_forward import (INT8_DEFAULT_SITES,
+                                                   calibrate_int8_ranges)
+
+                ranges = calibrate_int8_ranges(
+                    variables, [pack_image_s2d(imgs[:1])], dtype=fdt,
+                    input_format="s2d")
+                body_fwd = build_fast_resunet_forward(
+                    variables, dtype=fdt, input_format="s2d",
+                    int8_sites=INT8_DEFAULT_SITES, act_ranges=ranges)
+            else:
+                body_fwd = fast_packed_fn
+
+            def body_one(x1):
+                emb, pm = body_fwd(x1)
+                return _aff(emb.astype(jnp.float32)), pm
+        else:
+            stack = jnp.asarray(imgs)
+
+            def body_one(x1):
+                _, _, _, _, emb, pm = model.apply(variables, x1, train=False)
+                return _aff(emb), pm
+
+        @jax.jit
+        def run_all(xs):
+            def body(c, x1):
+                affs, pm = body_one(x1[None])
+                out = (affs[0], pm[0]) if need_mask else (affs[0],)
+                return c, out
+            _, outs = jax.lax.scan(body, 0, xs)
+            return outs
+
+        outs = run_all(stack)
+        affs_all = np.asarray(outs[0])
+        mask_all = np.asarray(outs[1]) if need_mask else None
+        return affs_all, mask_all
+
+    if one_dispatch is None:
+        one_dispatch = jax.devices()[0].platform == "tpu"
+    pre_affs = pre_mask = None
+    samples = None
+    if one_dispatch and len(dataset) > 1:
+        samples = [dataset[i] for i in range(len(dataset))]
+        if len({s["image"].shape for s in samples}) == 1:
+            pre_affs, pre_mask = _forward_all(samples)
+        else:  # ragged image shapes: per-image dispatch
+            samples = None
+
     results = []
     segs = []
     all_affs = []
     for i in range(len(dataset)):
-        s = dataset[i]
-        affs, embedding, pred_mask = forward(s["image"][None])
-        out_affs = np.asarray(affs)[0]
+        s = samples[i] if samples is not None else dataset[i]
+        if pre_affs is not None:
+            out_affs = pre_affs[i]
+            pred_mask_np = pre_mask[i] if pre_mask is not None else None
+        else:
+            affs, embedding, pred_mask = forward(s["image"][None])
+            out_affs = np.asarray(affs)[0]
+            pred_mask_np = (np.asarray(pred_mask[0])
+                            if cfg.train.mask_weight else None)
         gt = s["seg"].astype(np.uint16)
         if cfg.train.mask_weight:
-            pm = np.asarray(jax.nn.softmax(pred_mask[0], axis=-1))
-            fg = (np.argmax(pm, axis=-1) > 0).astype(np.uint8)
+            # argmax(softmax(x)) == argmax(x): threshold the logits directly
+            fg = (np.argmax(pred_mask_np, axis=-1) > 0).astype(np.uint8)
             fg = remove_small_object(fg, min_size=25)
         else:
             fg = (gt > 0).astype(np.uint8)
@@ -180,9 +261,12 @@ def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None
 
 
 def run_cvppp_test(cfg: Config, variables, dataset, out_path: str,
-                   use_pallas: bool | None = None):
+                   use_pallas: bool | None = None,
+                   one_dispatch: bool | None = None):
     """CVPPP test protocol: FG mask given, no labels; decode + write the
-    CodaLab submission.h5 (inference.py:277-293)."""
+    CodaLab submission.h5 (inference.py:277-293). ``one_dispatch`` scans
+    the whole test set through the forward in one jit (see
+    run_inference_2d; default: on for TPU)."""
     import jax
 
     from ..train.loop import build_model
@@ -195,18 +279,40 @@ def run_cvppp_test(cfg: Config, variables, dataset, out_path: str,
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
 
-    @jax.jit
-    def forward(image):
-        _, _, _, _, embedding, _ = model.apply(variables, image, train=False)
+    def _aff_of(embedding):
         if use_pallas:
             return jax.nn.relu(fused_affinity_2d(embedding, offsets_t, 32,
                                                  False))
         return jax.nn.relu(embedding_to_affinity_2d(embedding, offsets_t))
 
+    @jax.jit
+    def forward(image):
+        _, _, _, _, embedding, _ = model.apply(variables, image, train=False)
+        return _aff_of(embedding)
+
+    if one_dispatch is None:
+        one_dispatch = jax.devices()[0].platform == "tpu"
+    samples = [dataset[i] for i in range(len(dataset))]
+    pre_affs = None
+    if one_dispatch and len(samples) > 1 \
+            and len({s["image"].shape for s in samples}) == 1:
+        import jax.numpy as jnp
+
+        stack = jnp.asarray(np.stack([s["image"] for s in samples]))
+
+        @jax.jit
+        def run_all(xs):
+            def body(c, x1):
+                return c, forward(x1[None])[0]
+            _, affs = jax.lax.scan(body, 0, xs)
+            return affs
+
+        pre_affs = np.asarray(run_all(stack))
+
     segs, names = [], []
-    for i in range(len(dataset)):
-        s = dataset[i]
-        affs = np.asarray(forward(s["image"][None]))[0]
+    for i, s in enumerate(samples):
+        affs = (pre_affs[i] if pre_affs is not None
+                else np.asarray(forward(s["image"][None]))[0])
         seg = seg_mutex(affs, offsets=offsets, strides=list(cfg.data.strides),
                         mask=s["fg"]).astype(np.uint16)
         seg = merge_func(seg)

@@ -33,6 +33,14 @@ def run_inference_3d(cfg: Config, variables, volume: np.ndarray,
     from ..train.loop import build_model
     from ..ops import embedding_to_affinity_3d
 
+    if cfg.model.bf16_tiled_infer and cfg.model.dtype == "float32":
+        # dtype-only serving speedup (1.28x in-scan, docs/PERF.md r3): the
+        # predictor runs bf16; the embedding is cast back to f32 before
+        # the affinity dot so the canvas/decoders see f32 affinities
+        import copy
+
+        cfg = copy.deepcopy(cfg)
+        cfg.model.dtype = "bfloat16"
     model = build_model(cfg)
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
@@ -46,9 +54,12 @@ def run_inference_3d(cfg: Config, variables, volume: np.ndarray,
 
     @jax.jit
     def predict(tiles):  # (B, d, h, w, 1) -> (B, 12, d, h, w)
+        import jax.numpy as jnp
+
         outs = model.apply(variables, tiles, train=False)
         embedding = outs[-1] if isinstance(outs, (tuple, list)) else outs
-        affs = embedding_to_affinity_3d(embedding, tuple(SHIFTS_3D))
+        affs = embedding_to_affinity_3d(embedding.astype(jnp.float32),
+                                        tuple(SHIFTS_3D))
         return jax.nn.relu(affs)
 
     engine = TiledInference3D(crop_size=crop_size, stride=stride,

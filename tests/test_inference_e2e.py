@@ -126,3 +126,35 @@ def test_cvppp_test_mode_submission(tmp_path):
     with h5py.File(out, "r") as f:
         assert f"A1/{names[0]}/label" in f
         assert f[f"A1/{names[0]}/label"].shape == (114, 84)
+
+
+def test_bf16_tiled_infer_close_to_f32():
+    """model.bf16_tiled_infer: the bf16 predictor's stitched affinity
+    canvas must stay close to the f32 one (the serving-mode quality bar;
+    decode consumes f32 affinities either way)."""
+    import jax
+
+    from pixel_embedded_affinity_tpu.data.ac3ac4 import synthesize_volume
+    from pixel_embedded_affinity_tpu.infer import run_inference_3d
+    from pixel_embedded_affinity_tpu.train.loop import build_model
+
+    raw, label = synthesize_volume(d=22, h=80, w=80, n_cells=14, seed=5)
+    vol = raw.astype(np.float32) / 255.0
+    cfg = load_config("ac3ac4")
+    cfg.model.filters = (4, 6, 8, 12, 16)
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(3),
+                           np.zeros((1, 18, 64, 64, 1), np.float32),
+                           train=False)
+    kw = dict(gt=None, decoders=(), crop_size=(18, 64, 64),
+              stride=(10, 32, 32), padding=(2, 8, 8), batch_size=4,
+              use_pallas=False)
+    affs_f32, _ = run_inference_3d(cfg, variables, vol, **kw)
+    cfg.model.bf16_tiled_infer = True
+    affs_bf16, _ = run_inference_3d(cfg, variables, vol, **kw)
+    assert affs_bf16.shape == affs_f32.shape
+    # bf16 mantissa is 8 bits; the canvas is a Gaussian-weighted average
+    # of many tiles so per-voxel error stays small
+    err = np.abs(affs_bf16 - affs_f32)
+    assert float(err.max()) < 0.05
+    assert float(err.mean()) < 0.005
