@@ -39,6 +39,14 @@ def main():
     parser.add_argument("--serial", action="store_true",
                         help="2D: force per-image dispatch (the reference "
                              "pattern) instead of the one-dispatch scan")
+    parser.add_argument("--export", type=str, default=None, metavar="PATH",
+                        help="instead of running inference, freeze the "
+                             "checkpoint + forward + affinity graph to a "
+                             "portable StableHLO serving artifact "
+                             "(jax.export; symbolic batch dim)")
+    parser.add_argument("--export-hw", type=str, default=None,
+                        help="2D export spatial shape as H,W (default: the "
+                             "preset's padded serving shape)")
     args = parser.parse_args()
     one_dispatch = True if args.one_dispatch else (False if args.serial
                                                    else None)
@@ -64,6 +72,17 @@ def main():
         restored = load_checkpoint(args.checkpoint)
         variables = {"params": restored["params"],
                      "batch_stats": restored.get("batch_stats", {})}
+
+    if args.export:
+        from pixel_embedded_affinity_tpu.infer import export_checkpoint
+
+        hw = (tuple(int(v) for v in args.export_hw.split(","))
+              if args.export_hw else None)
+        exported = export_checkpoint(cfg, variables, args.export, hw=hw)
+        print(json.dumps({"artifact": args.export,
+                          "platforms": list(exported.platforms),
+                          "in_avals": [str(a) for a in exported.in_avals]}))
+        return
 
     if cfg.model.arch in ("unet_pni_deep", "unet3d_mala"):
         from pixel_embedded_affinity_tpu.data.ac3ac4 import AC3AC4ValidVolume
