@@ -70,8 +70,10 @@ def random_rotate(img, label, rng):
     """Continuous rotation by rand()*360 degrees about the center
     (scripts_bbbc039v1/augmentation/rotation.py:40-57 parity:
     cv2.getRotationMatrix2D, image bilinear, label nearest, constant
-    border). The caller's pre-crop margin absorbs the invalid corners,
-    exactly like the reference's sqrt(2) sample ratio."""
+    border). Constant-filled corners survive the caller's center-crop at
+    most angles — matching the reference, which rotates the same-sized
+    tile (its sqrt(2) sample_params ratio is consumed only by the unused
+    Compose machinery)."""
     import cv2
 
     h, w = label.shape[:2]

@@ -89,14 +89,21 @@ class BBBCTrain:
             if rng.random() > 0.5:
                 img, label = random_flips(img, label, rng)
             if rng.random() > 0.5:
-                # arbitrary-angle rotation (rotation.py:45: rand()*360);
-                # the 2*pad crop margin absorbs the blank corners
+                # arbitrary-angle rotation (rotation.py:45: rand()*360).
+                # The final 256 center-crop keeps constant-filled corners
+                # at most angles — reference behavior: its provider calls
+                # Rotate directly on the same 316^2 tile, never through
+                # the Compose sample-ratio machinery that would enlarge it
                 img, label = random_rotate(img, label, rng)
             if rng.random() < 0.5:
                 img, label = random_rescale(img, label, rng)
-            if rng.random() < 0.75:
+            # all gates are 0.5: the reference's augs_mix gates each aug
+            # at random()>0.5 and the augmentors' internal p (Elastic 0.75,
+            # Grayscale 0.75) is dead outside Compose
+            # (scripts_bbbc039v1/data/data_provider.py:256-267)
+            if rng.random() < 0.5:
                 img, label = elastic_deform(img, label, rng, alpha=16, sigma=4.0)
-            if rng.random() < 0.75:
+            if rng.random() < 0.5:
                 img = random_grayscale_adjust(img, rng)
         img = center_crop_pad(img, self.size, self.size)
         label = center_crop_pad(label, self.size, self.size)

@@ -43,6 +43,60 @@ def add_intensity_2d(img, key, contrast_factor=0.1, brightness_factor=0.1):
     return jnp.clip(out, 0, 1)
 
 
+def add_gauss_noise_2d(img, key, min_std=0.0, max_std=0.05):
+    """~ consistency.add_gauss_noise (utils/consistency_aug.py:24-40
+    semantics): per-sample std ~ U[min,max], ONE (H, W) noise field
+    broadcast over channels, clip to [0, 1]."""
+    b, h, w, _ = img.shape
+    ks, kn = jax.random.split(key)
+    std = jax.random.uniform(ks, (b, 1, 1, 1), img.dtype, min_std, max_std)
+    noise = jax.random.normal(kn, (b, h, w, 1), img.dtype) * std
+    return jnp.clip(img + noise, 0, 1)
+
+
+def add_gauss_blur_2d(img, key, max_kernel_size=7, min_sigma=0.0,
+                      max_sigma=1.0):
+    """~ consistency.add_gauss_blur (cv2.GaussianBlur semantics): per
+    sample, kernel size k ~ odd U{1..max_kernel_size} and sigma ~
+    U[min,max]; separable gaussian with REFLECT_101 borders. k = 1 is the
+    identity, like cv2. Branchless over k: taps beyond the drawn radius
+    are zeroed before normalization."""
+    b = img.shape[0]
+    r = max_kernel_size // 2
+    kk, ks = jax.random.split(key)
+    half = jax.random.randint(kk, (b,), 0, r + 1)  # kernel = 2*half + 1
+    sigma = jax.random.uniform(ks, (b,), img.dtype, min_sigma, max_sigma)
+    return _gauss_blur_2d(img, half, sigma, r)
+
+
+def _gauss_blur_2d(img, half, sigma, r):
+    """Separable gaussian blur with per-sample kernel radius ``half`` (<= r)
+    and ``sigma``; cv2.GaussianBlur-exact (incl. the sigma<=0 size-derived
+    fallback and REFLECT_101 borders). Split out for direct parity tests."""
+    ksz = (2 * half + 1).astype(img.dtype)
+    sig = jnp.where(sigma > 0, sigma, 0.3 * ((ksz - 1) * 0.5 - 1) + 0.8)
+    x = jnp.arange(-r, r + 1, dtype=img.dtype)  # (2r+1,)
+    wts = jnp.exp(-(x[None, :] ** 2) / (2 * sig[:, None] ** 2))
+    wts = jnp.where(jnp.abs(x[None, :]) <= half[:, None], wts, 0.0)
+    wts = wts / wts.sum(axis=1, keepdims=True)  # (B, 2r+1)
+
+    def pass_axis(e, axis):
+        pad = [(0, 0)] * 4
+        pad[axis] = (r, r)
+        ep = jnp.pad(e, pad, mode="reflect")  # REFLECT_101
+        out = jnp.zeros_like(e)
+        n = e.shape[axis]
+        for d in range(2 * r + 1):
+            sl = [slice(None)] * 4
+            sl[axis] = slice(d, d + n)
+            out = out + wts[:, d][:, None, None, None] * ep[tuple(sl)]
+        return out
+
+    out = pass_axis(img, 1)
+    out = pass_axis(out, 2)
+    return jnp.clip(out, 0, 1)
+
+
 def add_mask_2d(img, fg_bhw, key, max_counts=20, max_size=20):
     """Fill `counts` random size^2 squares inside the FG bbox with the
     per-channel FG mean (consistency_aug.py:75-90 semantics)."""
@@ -97,11 +151,19 @@ def flip_2d(img, rules_b3):
     return e
 
 
-def ema_view_2d(img, fg_bhw, key, *, intensity=True, mask=True, flip=True):
+def ema_view_2d(img, fg_bhw, key, *, noise=False, blur=False,
+                intensity=True, mask=True, flip=True):
     """Clean [0,1] image -> (ema_image, rules). One call inside the train
-    jit replaces the host EMA pipeline + its transfer."""
-    k1, k2, k3 = jax.random.split(key, 3)
+    jit replaces the host EMA pipeline + its transfer. Perturbation order
+    matches the host (data/cvppp.py build_cvppp_light / reference
+    data_provider.py:241-261): noise -> blur -> intensity -> mask ->
+    flip. noise/blur default off, as in the reference configs."""
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     ema = img
+    if noise:
+        ema = add_gauss_noise_2d(ema, k4)
+    if blur:
+        ema = add_gauss_blur_2d(ema, k5)
     if intensity:
         ema = add_intensity_2d(ema, k1)
     if mask:

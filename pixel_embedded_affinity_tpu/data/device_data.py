@@ -25,39 +25,28 @@ in-jit gather is local.
 from __future__ import annotations
 
 import math
-import os
 
 import numpy as np
 
-IMAGENET_MEAN = (0.485, 0.456, 0.406)
-IMAGENET_STD = (0.229, 0.224, 0.225)
+from .consistency import IMAGENET_MEAN, IMAGENET_STD  # noqa: F401 (re-export)
 
 
 def load_cvppp_arrays(data_folder: str, valid_set: str = "local_20_1",
                       padding: bool = True):
     """Host-side one-time load: returns (images_u8 (N,H,W,3),
     labels_i32 (N,H,W)) for the training split, reflect/constant-padded to
-    544x544 exactly like CVPPPTrain (cvppp.py:88-90)."""
-    import cv2
+    544x544 exactly like CVPPPTrain.sample (cvppp.py:88-90). Listing +
+    valid-split come from CVPPPTrain itself so the two paths can never
+    disagree; only the uint8 packing (HBM residency wants u8, the host
+    sampler f32) is done here."""
+    from .cvppp import CVPPPTrain
 
-    d = os.path.join(data_folder, "train")
-    names = sorted({f[:8] for f in os.listdir(d) if "rgb" in f})
-    valid_file = os.path.join(data_folder, "valid_set", valid_set + ".txt")
-    if os.path.exists(valid_file):
-        with open(valid_file) as f:
-            valid_names = [x.strip() for x in f if x.strip()]
-    else:
-        valid_names = names[: max(1, len(names) // 5)]
-    names = [n for n in names if n not in valid_names]
-
+    ds = CVPPPTrain(data_folder, valid_set=valid_set, padding=padding,
+                    light=True, device_ema=True)
     imgs, labs = [], []
-    for n in names:
-        img = cv2.imread(os.path.join(d, n + "_rgb.png"),
-                         cv2.IMREAD_COLOR)[:, :, ::-1]
-        lab = cv2.imread(os.path.join(d, n + "_label.png"),
-                         cv2.IMREAD_UNCHANGED)
-        if lab.ndim == 3:
-            lab = lab[..., 0]
+    for n in ds.names:
+        img_f32, lab = ds._load(n)  # f32 [0,1] RGB, i32 labels
+        img = np.round(img_f32 * 255.0).astype(np.uint8)  # exact u8 inverse
         if padding:
             img = np.pad(img, ((7, 7), (22, 22), (0, 0)), mode="reflect")
             lab = np.pad(lab, ((7, 7), (22, 22)), mode="constant")
@@ -207,31 +196,18 @@ def sample_cvppp_batch(images_u8, labels_i32, key, batch_size: int,
 def load_ac3ac4_arrays(data_folder: str, dataset_name: str = "ac4",
                        train_split: int = 80, if_dilate: bool = True,
                        crop_z: int = 18):
-    """Host one-time prep mirroring AC3AC4Train.__init__ (data/ac3ac4.py):
-    HDF5 'main' volumes, first train_split slices, seg_widen_border, z-pad
-    if thinner than the crop. Returns (raw_u8 (D,H,W), label_i32)."""
-    import h5py
+    """Host one-time prep: (raw_u8 (D,H,W), label_i32) as AC3AC4Train
+    holds them (HDF5 'main', first train_split slices, seg_widen_border,
+    z-pad if thinner than the crop). Delegates to AC3AC4Train.__init__ so
+    the two paths share one loader."""
+    from .ac3ac4 import AC3AC4Train
 
-    from ..ops import seg_widen_border
-
-    name_map = {"ac4": ("AC4_inputs.h5", "AC4_labels.h5"),
-                "ac3": ("AC3_inputs.h5", "AC3_labels.h5")}
-    fr, fl = name_map[dataset_name]
-    with h5py.File(os.path.join(data_folder, fr), "r") as f:
-        raw = f["main"][:]
-    with h5py.File(os.path.join(data_folder, fl), "r") as f:
-        label = f["main"][:]
-    raw = raw[:train_split]
-    label = label[:train_split].astype(np.int64)
-    if if_dilate:
-        label = seg_widen_border(label, tsz_h=1)
-    if raw.shape[0] < crop_z:
-        pz = (crop_z - raw.shape[0]) // 2
-        pz2 = crop_z - raw.shape[0] - pz
-        raw = np.pad(raw, ((pz, pz2), (0, 0), (0, 0)), mode="reflect")
-        label = np.pad(label, ((pz, pz2), (0, 0), (0, 0)), mode="reflect")
-    return (np.ascontiguousarray(raw, np.uint8),
-            np.ascontiguousarray(label, np.int32))
+    ds = AC3AC4Train(data_folder, dataset_name=dataset_name,
+                     train_split=train_split, if_dilate=if_dilate,
+                     crop_size=(crop_z, 160, 160), light=True,
+                     device_ema=True)
+    return (np.ascontiguousarray(ds.raw, np.uint8),
+            np.ascontiguousarray(ds.label, np.int32))
 
 
 def _rot90_xy(vol, k):
@@ -297,21 +273,24 @@ def _missing_section_single(vol, key, max_sections: int = 2):
     import jax.numpy as jnp
 
     d = vol.shape[0]
-    kn, kz1, kz2, kf1, kf2, ku = jax.random.split(key, 6)
+    kn, kz1, kz2, kf1, kf2, ku1, ku2 = jax.random.split(key, 7)
     n = jax.random.randint(kn, (), 1, max_sections + 1)
     z1 = jax.random.randint(kz1, (), 0, d)
     z2r = jax.random.randint(kz2, (), 0, d - 1)
     z2 = jnp.where(z2r >= z1, z2r + 1, z2r)  # distinct from z1
-    noise = jax.random.uniform(ku, vol.shape, vol.dtype)
 
-    def fill(v, z, kf, active):
+    def fill(v, z, kf, ku, active):
+        # independent noise per filled slice, like the host's per-slice
+        # rng.random draw (ac3ac4.py:86)
         use_noise = jax.random.bernoulli(kf)
-        filled = jnp.where(use_noise, noise, jnp.zeros_like(v))
+        filled = jnp.where(use_noise, jax.random.uniform(ku, v.shape,
+                                                         v.dtype),
+                           jnp.zeros_like(v))
         hit = (jnp.arange(d) == z)[:, None, None] & active
         return jnp.where(hit, filled, v)
 
-    vol = fill(vol, z1, kf1, True)
-    vol = fill(vol, z2, kf2, n >= 2)
+    vol = fill(vol, z1, kf1, ku1, True)
+    vol = fill(vol, z2, kf2, ku2, n >= 2)
     return vol
 
 
@@ -451,35 +430,32 @@ def sample_ac3ac4_batch(raw_u8, label_i32, key, batch_size: int,
 
 
 def load_bbbc_arrays(data_folder: str, padding: int = 30):
-    """Host one-time prep mirroring BBBCTrain._load + the reflect pad
-    (data/bbbc.py:61-81): TIFF min-max normalized to [0,1] f32, instance
-    PNG labels, training split, reflect-padded. Returns
-    (images_f32 (N, H+2p, W+2p), labels_i32)."""
-    import cv2
+    """Host one-time prep: TIFF min-max normalized to [0,1] f32, instance
+    PNG labels, training split, reflect-padded. Split parsing and image
+    loading/normalization delegate to BBBCTrain (data/bbbc.py) so the two
+    paths share one loader. Returns (images_f32 (N, H+2p, W+2p),
+    labels_i32)."""
+    from .bbbc import BBBCTrain
 
-    meta = os.path.join(data_folder, "metadata", "training.txt")
-    with open(meta) as f:
-        names = [x.strip()[:-4] for x in f if x.strip()]
+    ds = BBBCTrain(data_folder, padding=padding, light=True,
+                   device_ema=True)
     imgs, labs = [], []
-    for n in names:
-        img = cv2.imread(os.path.join(data_folder, "images", n + ".tif"),
-                         cv2.IMREAD_UNCHANGED).astype(np.float32)
-        img = (img - img.min()) / max(img.max() - img.min(), 1e-8)
-        lab = cv2.imread(
-            os.path.join(data_folder, "masks_instance", n + ".png"),
-            cv2.IMREAD_UNCHANGED)
-        if lab.ndim == 3:
-            lab = lab[..., 0]
+    for n in ds.names:
+        img, lab = ds._load(n)  # f32 min-max normalized, i32 labels
         imgs.append(np.pad(img, padding, mode="reflect"))
-        labs.append(np.pad(lab.astype(np.int32), padding, mode="reflect"))
+        labs.append(np.pad(lab, padding, mode="reflect"))
     return (np.stack(imgs).astype(np.float32), np.stack(labs))
 
 
 def _bbbc_aug_jax(img, lab, key):
     """In-jit mirror of the BBBCTrain.sample aug block (data/bbbc.py:88-100)
     on one (crop, crop) f32/i32 pair: flips p=0.5 (each axis p=0.5 inside),
-    arbitrary-angle rotation p=0.5, rescale 0.8-1.2 p=0.5, elastic p=0.75,
-    grayscale p=0.75. Sequential resampling exactly like the host."""
+    arbitrary-angle rotation p=0.5, rescale 0.8-1.2 p=0.5, elastic p=0.5,
+    grayscale p=0.5. All five gates are 0.5, matching the reference's
+    augs_mix (scripts_bbbc039v1/data/data_provider.py:256-267) — its
+    augmentors' internal p (e.g. Elastic p=0.75) is consumed only by the
+    unused Compose machinery. Sequential resampling exactly like the
+    host."""
     import jax
     import jax.numpy as jnp
 
@@ -509,13 +485,13 @@ def _bbbc_aug_jax(img, lab, key):
     img = jnp.where(do_sc, dw.remap_bilinear(img, mx, my, "reflect"), img)
     lab = jnp.where(do_sc, dw.remap_nearest(lab, mx, my, "reflect"), lab)
 
-    do_el = jax.random.uniform(kg4) < 0.75
+    do_el = jax.random.uniform(kg4) < 0.5
     dx, dy = dw.elastic_field(kel, h, w, alpha=16.0, sigma=4.0)
     mx, my = dw.elastic_coords(dx, dy)
     img = jnp.where(do_el, dw.remap_bilinear(img, mx, my, "reflect"), img)
     lab = jnp.where(do_el, dw.remap_nearest(lab, mx, my, "reflect"), lab)
 
-    do_gs = jax.random.uniform(kg5) < 0.75
+    do_gs = jax.random.uniform(kg5) < 0.5
     img = jnp.where(do_gs, _grayscale_single(img, kgs), img)
     return img, lab
 

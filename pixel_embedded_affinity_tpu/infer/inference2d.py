@@ -292,25 +292,29 @@ def run_cvppp_test(cfg: Config, variables, dataset, out_path: str,
 
     if one_dispatch is None:
         one_dispatch = jax.devices()[0].platform == "tpu"
-    samples = [dataset[i] for i in range(len(dataset))]
+    # materialize the set only for the one-dispatch scan; the serial path
+    # streams one image at a time (the reference pattern)
+    samples = None
     pre_affs = None
-    if one_dispatch and len(samples) > 1 \
-            and len({s["image"].shape for s in samples}) == 1:
-        import jax.numpy as jnp
+    if one_dispatch and len(dataset) > 1:
+        samples = [dataset[i] for i in range(len(dataset))]
+        if len({s["image"].shape for s in samples}) == 1:
+            import jax.numpy as jnp
 
-        stack = jnp.asarray(np.stack([s["image"] for s in samples]))
+            stack = jnp.asarray(np.stack([s["image"] for s in samples]))
 
-        @jax.jit
-        def run_all(xs):
-            def body(c, x1):
-                return c, forward(x1[None])[0]
-            _, affs = jax.lax.scan(body, 0, xs)
-            return affs
+            @jax.jit
+            def run_all(xs):
+                def body(c, x1):
+                    return c, forward(x1[None])[0]
+                _, affs = jax.lax.scan(body, 0, xs)
+                return affs
 
-        pre_affs = np.asarray(run_all(stack))
+            pre_affs = np.asarray(run_all(stack))
 
     segs, names = [], []
-    for i, s in enumerate(samples):
+    for i in range(len(dataset)):
+        s = samples[i] if samples is not None else dataset[i]
         affs = (pre_affs[i] if pre_affs is not None
                 else np.asarray(forward(s["image"][None]))[0])
         seg = seg_mutex(affs, offsets=offsets, strides=list(cfg.data.strides),

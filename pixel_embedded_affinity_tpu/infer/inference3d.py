@@ -42,8 +42,9 @@ def run_inference_3d(cfg: Config, variables, volume: np.ndarray,
         cfg = copy.deepcopy(cfg)
         cfg.model.dtype = "bfloat16"
     model = build_model(cfg)
-    if use_pallas is None:
-        use_pallas = jax.devices()[0].platform == "tpu"
+    del use_pallas  # accepted for API symmetry with run_inference_2d but
+    # unused: the tiled path always runs the roll-based affinity graph on
+    # every platform — see the measured A/B below
     # Predictor choice (docs/PERF.md round-3 A/B, measured INSIDE the
     # one-dispatch scan engine at (20,320,320)): dense+roll 3.9 s/vol,
     # s2d-twin+roll 7.6, dense+fused 15.4, twin+fused 21.0 — both the

@@ -388,6 +388,7 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
             interpret=interpret, device_gt=cfg.data.device_gt,
             loss_mode=cfg.train.loss_mode, disc_weight=cfg.train.disc_weight,
             device_ema=cfg.data.device_ema, ema_seed=cfg.train.random_seed,
+            ema_noise=cfg.data.if_ema_noise, ema_blur=cfg.data.if_ema_blur,
             ema_intensity=cfg.data.if_ema_intensity,
             ema_mask=cfg.data.if_ema_mask, ema_flip=cfg.data.if_ema_flip,
             imagenet_norm=(cfg.data.dataset == "cvppp"))
@@ -498,12 +499,14 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
         while True:
             yield provider.next()
 
-    if S > 1:
-        # round event freqs up to multiples of S so events land on call
-        # boundaries
-        for attr in ("display_freq", "valid_freq", "save_freq"):
-            v = getattr(cfg.train, attr)
-            setattr(cfg.train, attr, ((v + S - 1) // S) * S)
+    # round event freqs up to multiples of S so events land on call
+    # boundaries (locals — never mutate the caller's cfg)
+    def _round_up(v):
+        return ((v + S - 1) // S) * S if S > 1 else v
+
+    display_freq = _round_up(cfg.train.display_freq)
+    valid_freq = _round_up(cfg.train.valid_freq)
+    save_freq = _round_up(cfg.train.save_freq)
 
     batch_iter = None
     if not use_dr:
@@ -526,6 +529,7 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
     # losses are fetched lazily (at display/valid points) so the host never
     # blocks on the device per step; `pending` holds tiny device scalars
     pending: list = []
+    tail_chunk, tail_idx = None, 0
 
     def _drain():
         nonlocal sum_loss
@@ -554,9 +558,13 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
             it += S
             pending.append(losses)  # (S,) device vector, fetched at drain
         else:
-            if S > 1:  # tail (< S steps left): single-step on fresh batches
-                stacked = next(batch_iter)
-                batch = {k: v[0] for k, v in stacked.items()}
+            if S > 1:
+                # tail (< S steps left): one stacked chunk serves ALL tail
+                # steps, one element per step — no discarded batches
+                if tail_chunk is None:
+                    tail_chunk, tail_idx = next(batch_iter), 0
+                batch = {k: v[tail_idx] for k, v in tail_chunk.items()}
+                tail_idx += 1
             else:
                 batch = next(batch_iter)
             state, pred, metrics = jit_step(state, batch)
@@ -566,16 +574,16 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
         def _hit(freq):  # robust to S-strided iteration counts
             return it % freq < (S if S > 1 else 1)
 
-        if _hit(cfg.train.display_freq) or it <= S:
+        if _hit(display_freq) or it <= S:
             _drain()
             dt = time.time() - t_start
-            avg = sum_loss / (cfg.train.display_freq if it > S
+            avg = sum_loss / (display_freq if it > S
                               else max(it, 1))
             log.info("step %d, loss=%.6f (%.2f s)", it, avg, dt)
             logger.add(it, loss=avg, sec_per_iter=dt / max(it, 1))
             sum_loss = 0.0
         if cfg.train.if_valid and valid_ds is not None \
-                and _hit(cfg.train.valid_freq) and it > S:
+                and _hit(valid_freq) and it > S:
             _drain()
             if is_3d:
                 cz, cy, cx = cfg.data.crop_size
@@ -596,7 +604,7 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
                 log.info("valid @%d: %s", it, m)
                 logger.add(it, **m)
                 history.append({"step": it, **m})
-        if (_hit(cfg.train.save_freq) and it > S) or it >= total_iters:
+        if (_hit(save_freq) and it > S) or it >= total_iters:
             _drain()
             if jax.process_index() == 0:  # single writer under multi-host
                 save_checkpoint(save_path, state, it)

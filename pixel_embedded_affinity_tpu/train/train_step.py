@@ -48,6 +48,7 @@ def make_train_step_2d(model, tx, offsets, *, neighbor=4,
                        use_pallas=True, interpret=False, remat=False,
                        device_gt=False, loss_mode="affinity",
                        disc_weight=1.0, device_ema=False, ema_seed=0,
+                       ema_noise=False, ema_blur=False,
                        ema_intensity=True, ema_mask=True, ema_flip=True,
                        imagenet_norm=True):
     """``device_gt``: the batch carries only image/ema_image/seg/rules; GT
@@ -156,6 +157,7 @@ def make_train_step_2d(model, tx, offsets, *, neighbor=4,
                 std = jnp.asarray(IMAGENET_STD)
                 img = img * std + mean
             ema, rules = ema_view_2d(img, (batch["seg"] > 0), key,
+                                     noise=ema_noise, blur=ema_blur,
                                      intensity=ema_intensity,
                                      mask=ema_mask, flip=ema_flip)
             if imagenet_norm:
