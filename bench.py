@@ -107,11 +107,13 @@ def bench_train_2d():
         state, last = multi(state, dbatch)   # compile + warm
         float(last)
         print("# compiled train", file=sys.stderr, flush=True)
-        t0 = time.perf_counter()
-        for _ in range(reps):
+        times = []
+        for _ in range(reps):  # min over reps (tunnel stall immunity)
+            t0 = time.perf_counter()
             state, last = multi(state, dbatch)
-        float(last)
-        return (time.perf_counter() - t0) / (reps * K)
+            float(last)
+            times.append(time.perf_counter() - t0)
+        return min(times) / K
 
     dt_ours = run(s2d=True)
     dt_ref = run(s2d=False)
@@ -187,10 +189,12 @@ def bench_tiled_3d():
             float(_reduce(cv, wm))
         once()  # compile + warm
         print("# compiled tiled-3d", file=sys.stderr, flush=True)
-        t0 = time.perf_counter()
-        for _ in range(reps):
+        times = []
+        for _ in range(reps):  # min over reps (tunnel stall immunity)
+            t0 = time.perf_counter()
             once()
-        return (time.perf_counter() - t0) / reps
+            times.append(time.perf_counter() - t0)
+        return min(times)
 
     def run_ref_pattern(reps: int = 1):
         engine.run(vol, predict, n_channels=len(SHIFTS_3D))  # warm
@@ -262,11 +266,17 @@ def main(B=8, H=544, W=544, shape_label=None, int8_line=False):
         eps = jnp.zeros((N,), xin.dtype)
         float(run(xin, eps))  # compile + warm
         print("# compiled", file=sys.stderr, flush=True)
-        t0 = time.perf_counter()
-        reps = 3
-        for _ in range(reps):
+        # min over reps, not mean: the tunnel occasionally injects
+        # multi-ms stalls into a whole timed block (observed: a 44.5 ms
+        # reading for a graph that repeatably measures 38.2), and min is
+        # the standard low-noise estimator for repeated identical device
+        # work. Applied identically to ours and both baselines.
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
             float(run(xin, eps))
-        return (time.perf_counter() - t0) / (reps * N)
+            times.append(time.perf_counter() - t0)
+        return min(times) / N
 
     def fused(emb):
         # bf16 embedding straight into the kernel (it upcasts per-tile)
