@@ -31,6 +31,14 @@ class ModelConfig:
     # default OFF — the reference runs f32 and the quality deltas, while
     # tiny, are nonzero (tests/test_int8_quant.py pins them)
     int8_infer: bool = False
+    # int8 activation-scale calibration: number of images (one-dispatch
+    # path; the serial per-image path calibrates on its first image) and
+    # optional percentile of |activation| instead of max (e.g. 0.999).
+    # Max over k images never clips calibration data; the percentile
+    # trades rare-outlier headroom for scale resolution under
+    # distribution shift.
+    int8_calib_k: int = 8
+    int8_calib_pct: float | None = None
     # bf16 compute for the tiled 3D inference predictor only (the
     # embedding is cast back to f32 before the affinity dot). Unlike the
     # structural rewrites, a dtype-only change survives the one-dispatch
@@ -72,6 +80,10 @@ class TrainConfig:
     random_seed: int = 555
     resume: bool = False
     if_valid: bool = True
+    # 3D in-loop validation decoders (any of 'waterz'/'lmc'/'mutex';
+    # inference.py --decoders overrides at serving time). The reference
+    # validates with waterz + LMC (scripts_ac3ac4/main.py:314-335).
+    valid_decoders: tuple = ("waterz",)
     use_pallas: bool = True
     # >1: dispatch S chained train steps as ONE jitted lax.scan over S
     # stacked batches. On links where every dispatch costs fixed latency

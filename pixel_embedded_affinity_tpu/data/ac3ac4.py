@@ -116,15 +116,22 @@ def misalign_augment(imgs, label, rng, max_shift: int = 10):
     return imgs, label
 
 
-def intensity_augment_3d(imgs, rng, mode="mix"):
-    """Per-slice or whole-volume contrast/brightness/gamma jitter."""
+def intensity_augment_3d(imgs, rng, mode="mix", contrast_factor=0.3,
+                         brightness_factor=0.3):
+    """Per-slice or whole-volume contrast/brightness/gamma jitter.
+    mode='mix' is the train Grayscale default for AC3/AC4
+    (scripts_ac3ac4/augmentation/grayscale.py:17,29-41: fair 50/50
+    2D-per-slice vs 3D-whole-volume; factors 0.3)."""
     if mode == "mix":
-        mode = "2D" if rng.random() < 0.5 else "3D"
+        mode = "3D" if rng.random() > 0.5 else "2D"
     if mode == "2D":
-        out = np.stack([random_grayscale_adjust(imgs[z], rng)
+        out = np.stack([random_grayscale_adjust(imgs[z], rng,
+                                                contrast_factor,
+                                                brightness_factor)
                         for z in range(imgs.shape[0])])
     else:
-        out = random_grayscale_adjust(imgs, rng)
+        out = random_grayscale_adjust(imgs, rng, contrast_factor,
+                                      brightness_factor)
     return out
 
 
@@ -238,8 +245,16 @@ class AC3AC4Train:
 
     def _ema_view(self, imgs, rng):
         ema = imgs.copy()
-        if self.ema_intensity:
-            ema = intensity_augment_3d(ema, rng)
+        # IntensityAugment() parity (scripts_ac3ac4/utils/augmentation.py:
+        # 249-303, wired at data_provider_labeled_deep.py:288-289): one
+        # skiprand draw both gates execution (skiprand < 0.5) and would
+        # pick the mode — but in the as-shipped 'mix' rule 3D needs
+        # skiprand > 0.75, unreachable inside the < 0.5 branch, so the
+        # EMA intensity jitter is ALWAYS per-slice 2D, factors 0.1.
+        if self.ema_intensity and rng.random() < 0.5:
+            ema = intensity_augment_3d(ema, rng, mode="2D",
+                                       contrast_factor=0.1,
+                                       brightness_factor=0.1)
         if self.ema_mask:
             ema = ema * gen_mask_3d(ema.shape, rng)
         if self.ema_flip:
@@ -260,21 +275,23 @@ class AC3AC4Train:
             k = int(rng.integers(0, 4))
             imgs = np.rot90(imgs, k, axes=(1, 2)).copy()
             lb = np.rot90(lb, k, axes=(1, 2)).copy()
-        if rng.random() < 0.5:  # per-slice elastic in xy
-            from scipy.ndimage import gaussian_filter
+        if rng.random() < 0.5:  # per-slice elastic in xy (one shared field,
+            # uniform(-1,1) base noise, constant-0 fill: scripts_ac3ac4/
+            # augmentation/warp.py:31,46-47,53-72)
+            from .augment2d import elastic_field_np
 
             h, w = imgs.shape[1:]
-            dx = gaussian_filter(rng.normal(size=(h, w)), 4.0).astype(np.float32) * 16
-            dy = gaussian_filter(rng.normal(size=(h, w)), 4.0).astype(np.float32) * 16
+            dx = elastic_field_np(rng, h, w, alpha=16.0, sigma=4.0)
+            dy = elastic_field_np(rng, h, w, alpha=16.0, sigma=4.0)
             xx, yy = np.meshgrid(np.arange(w, dtype=np.float32),
                                  np.arange(h, dtype=np.float32))
             mx, my = xx + dx, yy + dy
             for z in range(imgs.shape[0]):
                 imgs[z] = cv2.remap(imgs[z], mx, my, cv2.INTER_LINEAR,
-                                    borderMode=cv2.BORDER_REFLECT)
+                                    borderMode=cv2.BORDER_CONSTANT)
                 lb[z] = cv2.remap(lb[z].astype(np.float32), mx, my,
                                   cv2.INTER_NEAREST,
-                                  borderMode=cv2.BORDER_REFLECT
+                                  borderMode=cv2.BORDER_CONSTANT
                                   ).astype(lb.dtype)
         if rng.random() < 0.5:  # grayscale
             imgs = intensity_augment_3d(imgs, rng)

@@ -117,23 +117,37 @@ def center_crop_pad(x, th, tw):
     return x
 
 
-def elastic_deform(img, label, rng, alpha=16.0, sigma=4.0):
-    """Elastic deformation via smoothed random displacement field."""
-    import cv2
+def elastic_field_np(rng, h, w, alpha=16.0, sigma=4.0):
+    """One displacement component: ``gaussian_filter(rand(h,w)*2-1, sigma)
+    * alpha`` — the reference's literal expression with **uniform(-1,1)**
+    base noise (scripts_bbbc039v1/augmentation/warp.py:46-47). Shared by
+    elastic_deform and the AC3/AC4 per-slice elastic so the distribution
+    can never drift between pipelines."""
     from scipy.ndimage import gaussian_filter
 
+    return gaussian_filter(rng.random((h, w)) * 2 - 1,
+                           sigma).astype(np.float32) * alpha
+
+
+def elastic_deform(img, label, rng, alpha=16.0, sigma=4.0):
+    """Elastic deformation via smoothed random displacement field
+    (scripts_bbbc039v1/augmentation/warp.py:38-79 parity: uniform(-1,1)
+    base noise, gaussian sigma, constant-0 out-of-bounds fill; dx drawn
+    before dy)."""
+    import cv2
+
     h, w = label.shape[:2]
-    dx = gaussian_filter(rng.normal(size=(h, w)), sigma).astype(np.float32) * alpha
-    dy = gaussian_filter(rng.normal(size=(h, w)), sigma).astype(np.float32) * alpha
+    dx = elastic_field_np(rng, h, w, alpha, sigma)
+    dy = elastic_field_np(rng, h, w, alpha, sigma)
     xx, yy = np.meshgrid(np.arange(w, dtype=np.float32),
                          np.arange(h, dtype=np.float32))
     map_x = xx + dx
     map_y = yy + dy
     img_o = cv2.remap(img, map_x, map_y, interpolation=cv2.INTER_LINEAR,
-                      borderMode=cv2.BORDER_REFLECT)
+                      borderMode=cv2.BORDER_CONSTANT)
     lab_o = cv2.remap(label.astype(np.float32), map_x, map_y,
                       interpolation=cv2.INTER_NEAREST,
-                      borderMode=cv2.BORDER_REFLECT)
+                      borderMode=cv2.BORDER_CONSTANT)
     return img_o, lab_o.astype(label.dtype)
 
 
@@ -169,13 +183,28 @@ def random_affine(img, label, rng, rotation: float = 10.0,
     return img_o, lab_o.astype(label.dtype)
 
 
-def random_grayscale_adjust(img, rng, contrast=(0.7, 1.3), brightness=(-0.15, 0.15),
-                            gamma=(0.7, 1.4)):
-    """Intensity jitter (contrast * x + brightness, then gamma), clipped [0,1]."""
-    out = img * rng.uniform(*contrast) + rng.uniform(*brightness)
-    out = np.clip(out, 0, 1)
-    out = out ** rng.uniform(*gamma)
-    return np.clip(out, 0, 1)
+def grayscale_params(rng, contrast_factor=0.3, brightness_factor=0.3):
+    """Draw one (contrast, brightness, gamma) triple with the ELEKTRONN
+    semantics of the reference Grayscale/IntensityAugment family
+    (scripts_bbbc039v1/augmentation/grayscale.py:43-73,
+    scripts_ac3ac4/utils/augmentation.py:288-303): contrast
+    x(1 + (u-0.5)*factor), brightness +(u-0.5)*factor, gamma
+    2**(u*2-1) (log-uniform in [0.5, 2]); draw order contrast ->
+    brightness -> gamma."""
+    c = 1.0 + (rng.random() - 0.5) * contrast_factor
+    b = (rng.random() - 0.5) * brightness_factor
+    g = 2.0 ** (rng.random() * 2 - 1)
+    return c, b, g
+
+
+def random_grayscale_adjust(img, rng, contrast_factor=0.3,
+                            brightness_factor=0.3):
+    """Intensity jitter: x*c + b, clip [0,1], then gamma (the reference's
+    Grayscale._augment3D body, grayscale.py:62-76; gamma of [0,1] stays in
+    [0,1] so the trailing clip is a no-op kept for float safety)."""
+    c, b, g = grayscale_params(rng, contrast_factor, brightness_factor)
+    out = np.clip(img * c + b, 0, 1)
+    return np.clip(out ** g, 0, 1)
 
 
 # ---------------------------------------------------------------------------

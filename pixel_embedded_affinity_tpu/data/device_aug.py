@@ -11,8 +11,9 @@ step counter: the host ships one image, no EMA view, no rules.
 
 Semantics parity (distribution-level, behavior-tested):
 * intensity: ~ utils/consistency_aug.py add_intensity (2D: contrast/
-  brightness +-0.05) and scripts_ac3ac4 IntensityAugment 'mix' (3D:
-  contrast 0.7-1.3, brightness +-0.15, gamma 0.7-1.4, per-slice or whole)
+  brightness +-0.05) and scripts_ac3ac4 IntensityAugment() (3D: p=0.5
+  gate, per-slice-always 'mix' quirk, contrast x[0.95,1.05], brightness
+  +-0.05, gamma 2**U(-1,1))
 * cutout:   ~ add_mask (2D: 0-20 squares <=20px inside the FG bbox filled
   with the per-channel FG mean) and gen_mask (3D: 0-60 boxes <=7x20x20
   zero-filled)
@@ -182,27 +183,42 @@ def ema_view_2d(img, fg_bhw, key, *, noise=False, blur=False,
 # ---------------------------------------------------------------------------
 
 
-def intensity_3d(img, key, contrast=(0.7, 1.3), brightness=(-0.15, 0.15),
-                 gamma=(0.7, 1.4)):
-    """IntensityAugment 'mix': per sample, 50% per-slice params (2D mode)
-    else one whole-volume set (3D mode); clip -> gamma -> clip."""
+def ema_intensity_params_3d(key, b, d, dtype=jnp.float32,
+                            contrast_factor=0.1, brightness_factor=0.1,
+                            exec_ratio=0.5):
+    """Parameter draws for the 3D EMA intensity jitter, exposed for
+    distribution-oracle tests. Returns (do, c, br, g): do (B,1,1,1,1)
+    bool execution gate (p=exec_ratio), and per-slice (B,D,1,1,1)
+    contrast x(1+(u-0.5)*factor), brightness +(u-0.5)*factor, gamma
+    2**(u*2-1) (log-uniform in [0.5, 2])."""
+    ks, kc, kb, kg = jax.random.split(key, 4)
+    do = jax.random.uniform(ks, (b, 1, 1, 1, 1)) < exec_ratio
+    shape2d = (b, d, 1, 1, 1)
+
+    def draw(k):
+        return jax.random.uniform(k, shape2d, dtype)
+
+    c = 1.0 + (draw(kc) - 0.5) * contrast_factor
+    br = (draw(kb) - 0.5) * brightness_factor
+    g = 2.0 ** (draw(kg) * 2 - 1)
+    return do, c, br, g
+
+
+def intensity_3d(img, key, contrast_factor=0.1, brightness_factor=0.1,
+                 exec_ratio=0.5):
+    """IntensityAugment() parity (scripts_ac3ac4/utils/augmentation.py:
+    249-303): executes per sample with p=exec_ratio (skiprand < ratio);
+    the as-shipped 'mix' rule can never select 3D (3D needs skiprand >
+    0.75 but the branch runs only when skiprand < 0.5), so params are
+    ALWAYS per-slice (2D mode): per slice, contrast x(1+(u-0.5)*0.1),
+    brightness +(u-0.5)*0.1, clip, gamma 2**(u*2-1)."""
     b, d = img.shape[0], img.shape[1]
-    km, kc, kb, kg, kc3, kb3, kg3 = jax.random.split(key, 7)
-    mode2d = jax.random.bernoulli(km, 0.5, (b, 1, 1, 1, 1))
-    shape2d, shape3d = (b, d, 1, 1, 1), (b, 1, 1, 1, 1)
-
-    def draw(k, rng_shape, lo, hi):
-        return jax.random.uniform(k, rng_shape, img.dtype, lo, hi)
-
-    c = jnp.where(mode2d, draw(kc, shape2d, *contrast),
-                  draw(kc3, shape3d, *contrast))
-    br = jnp.where(mode2d, draw(kb, shape2d, *brightness),
-                   draw(kb3, shape3d, *brightness))
-    g = jnp.where(mode2d, draw(kg, shape2d, *gamma),
-                  draw(kg3, shape3d, *gamma))
+    do, c, br, g = ema_intensity_params_3d(
+        key, b, d, img.dtype, contrast_factor, brightness_factor,
+        exec_ratio)
     out = jnp.clip(img * c + br, 0, 1)
     out = jnp.clip(out ** g, 0, 1)
-    return out
+    return jnp.where(do, out, img)
 
 
 def cutout_3d(img, key, max_counts=60, min_size=(5, 10, 10),

@@ -237,32 +237,43 @@ def _flip_rule4(vol, rule):
     return v
 
 
-def _grayscale_single(img, key, contrast=(0.7, 1.3),
-                      brightness=(-0.15, 0.15), gamma=(0.7, 1.4)):
-    """random_grayscale_adjust (augment2d.py:170) for one map."""
+def _grayscale_params(key, contrast_factor=0.3, brightness_factor=0.3):
+    """In-jit twin of augment2d.grayscale_params (ELEKTRONN semantics,
+    scripts_bbbc039v1/augmentation/grayscale.py:43-73): contrast
+    x(1+(u-0.5)*factor), brightness +(u-0.5)*factor, gamma 2**(u*2-1)
+    (log-uniform in [0.5, 2])."""
     import jax
-    import jax.numpy as jnp
 
     kc, kb, kg = jax.random.split(key, 3)
-    c = jax.random.uniform(kc, (), minval=contrast[0], maxval=contrast[1])
-    b = jax.random.uniform(kb, (), minval=brightness[0],
-                           maxval=brightness[1])
-    g = jax.random.uniform(kg, (), minval=gamma[0], maxval=gamma[1])
+    c = 1.0 + (jax.random.uniform(kc, ()) - 0.5) * contrast_factor
+    b = (jax.random.uniform(kb, ()) - 0.5) * brightness_factor
+    g = 2.0 ** (jax.random.uniform(kg, ()) * 2 - 1)
+    return c, b, g
+
+
+def _grayscale_single(img, key, contrast_factor=0.3, brightness_factor=0.3):
+    """random_grayscale_adjust (augment2d.py) for one map."""
+    import jax.numpy as jnp
+
+    c, b, g = _grayscale_params(key, contrast_factor, brightness_factor)
     out = jnp.clip(img * c + b, 0.0, 1.0)
     return jnp.clip(out ** g, 0.0, 1.0)
 
 
-def _intensity_3d_single(vol, key):
-    """intensity_augment_3d 'mix' (ac3ac4.py:119): p=0.5 per-slice params
-    (2D) else one whole-volume set (3D)."""
+def _intensity_3d_single(vol, key, contrast_factor=0.3,
+                         brightness_factor=0.3):
+    """intensity_augment_3d 'mix' (ac3ac4.py / scripts_ac3ac4/
+    augmentation/grayscale.py:29-41): fair 50/50 per-slice params (2D)
+    vs one whole-volume set (3D)."""
     import jax
     import jax.numpy as jnp
 
     km, k2, k3 = jax.random.split(key, 3)
     mode2d = jax.random.bernoulli(km)
-    per_slice = jax.vmap(_grayscale_single)(
-        vol, jax.random.split(k2, vol.shape[0]))
-    whole = _grayscale_single(vol, k3)
+    gs = lambda v, k: _grayscale_single(v, k, contrast_factor,
+                                        brightness_factor)
+    per_slice = jax.vmap(gs)(vol, jax.random.split(k2, vol.shape[0]))
+    whole = gs(vol, k3)
     return jnp.where(mode2d, per_slice, whole)
 
 
@@ -326,7 +337,8 @@ def _misalign_single(vol, lab, key, max_shift: int = 10):
 def _elastic_xy_single(vol, lab, key, alpha: float = 16.0,
                        sigma: float = 4.0):
     """Per-slice elastic in xy with ONE field for all z
-    (ac3ac4._augs_mix: same mx/my per slice, cv2.remap reflect)."""
+    (ac3ac4._augs_mix: same mx/my per slice, cv2.remap constant-0 fill
+    per scripts_ac3ac4/augmentation/warp.py:31)."""
     import jax
 
     from . import device_warp as dw
@@ -334,8 +346,8 @@ def _elastic_xy_single(vol, lab, key, alpha: float = 16.0,
     h, w = vol.shape[1:]
     dx, dy = dw.elastic_field(key, h, w, alpha, sigma)
     mx, my = dw.elastic_coords(dx, dy)
-    img_o = jax.vmap(lambda s: dw.remap_bilinear(s, mx, my, "reflect"))(vol)
-    lab_o = jax.vmap(lambda s: dw.remap_nearest(s, mx, my, "reflect"))(lab)
+    img_o = jax.vmap(lambda s: dw.remap_bilinear(s, mx, my, "constant"))(vol)
+    lab_o = jax.vmap(lambda s: dw.remap_nearest(s, mx, my, "constant"))(lab)
     return img_o, lab_o
 
 
@@ -488,8 +500,10 @@ def _bbbc_aug_jax(img, lab, key):
     do_el = jax.random.uniform(kg4) < 0.5
     dx, dy = dw.elastic_field(kel, h, w, alpha=16.0, sigma=4.0)
     mx, my = dw.elastic_coords(dx, dy)
-    img = jnp.where(do_el, dw.remap_bilinear(img, mx, my, "reflect"), img)
-    lab = jnp.where(do_el, dw.remap_nearest(lab, mx, my, "reflect"), lab)
+    # constant-0 out-of-bounds fill per the reference Elastic
+    # (scripts_bbbc039v1/augmentation/warp.py:31)
+    img = jnp.where(do_el, dw.remap_bilinear(img, mx, my, "constant"), img)
+    lab = jnp.where(do_el, dw.remap_nearest(lab, mx, my, "constant"), lab)
 
     do_gs = jax.random.uniform(kg5) < 0.5
     img = jnp.where(do_gs, _grayscale_single(img, kgs), img)

@@ -207,15 +207,16 @@ def rescale_coords(f, h: int, w: int, out_h: int, out_w: int):
 
 def elastic_field(key, h: int, w: int, alpha: float = 16.0,
                   sigma: float = 4.0):
-    """(dx, dy) displacement maps: gaussian_filter(N(0,1), sigma) * alpha
-    (data/augment2d.elastic_deform / ac3ac4._augs_mix parity in
-    distribution)."""
+    """(dx, dy) displacement maps: gaussian_filter(U(-1,1), sigma) * alpha
+    — the reference's literal expression (scripts_bbbc039v1/augmentation/
+    warp.py:46-47; host twin augment2d.elastic_field_np)."""
     import jax
-    import jax.numpy as jnp
 
     kx, ky = jax.random.split(key)
-    dx = gaussian_blur2d(jax.random.normal(kx, (h, w)), sigma) * alpha
-    dy = gaussian_blur2d(jax.random.normal(ky, (h, w)), sigma) * alpha
+    ux = jax.random.uniform(kx, (h, w)) * 2 - 1
+    uy = jax.random.uniform(ky, (h, w)) * 2 - 1
+    dx = gaussian_blur2d(ux, sigma) * alpha
+    dy = gaussian_blur2d(uy, sigma) * alpha
     return dx, dy
 
 

@@ -104,15 +104,18 @@ def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None
     _q = {"fn": None}
 
     def forward_fast_int8(packed):
-        # model.int8_infer: calibrate activation ranges on the first image
-        # of the run, then reuse the quantized forward (ops/quant.py;
-        # ~8% on v5e at embedding cosine > 0.999 — docs/PERF.md r3)
+        # model.int8_infer, serial path: calibrate activation ranges on
+        # the first image of the run (the one-dispatch default path uses
+        # model.int8_calib_k images), then reuse the quantized forward
+        # (ops/quant.py; ~8% on v5e at embedding cosine > 0.999 —
+        # docs/PERF.md r3)
         if _q["fn"] is None:
             from ..models.fast_forward import (INT8_DEFAULT_SITES,
                                                calibrate_int8_ranges)
 
-            ranges = calibrate_int8_ranges(variables, [packed], dtype=fdt,
-                                           input_format="s2d")
+            ranges = calibrate_int8_ranges(
+                variables, [packed], dtype=fdt, input_format="s2d",
+                quantile=getattr(cfg.model, "int8_calib_pct", None))
             qfwd = build_fast_resunet_forward(
                 variables, dtype=fdt, input_format="s2d",
                 int8_sites=INT8_DEFAULT_SITES, act_ranges=ranges)
@@ -160,9 +163,14 @@ def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None
                 from ..models.fast_forward import (INT8_DEFAULT_SITES,
                                                    calibrate_int8_ranges)
 
+                # k-image calibration (one batch, statistic over all k)
+                # with optional percentile clipping (model.int8_calib_pct)
+                k = max(1, min(int(getattr(cfg.model, "int8_calib_k", 8)),
+                               imgs.shape[0]))
                 ranges = calibrate_int8_ranges(
-                    variables, [pack_image_s2d(imgs[:1])], dtype=fdt,
-                    input_format="s2d")
+                    variables, [pack_image_s2d(imgs[:k])], dtype=fdt,
+                    input_format="s2d",
+                    quantile=getattr(cfg.model, "int8_calib_pct", None))
                 body_fwd = build_fast_resunet_forward(
                     variables, dtype=fdt, input_format="s2d",
                     int8_sites=INT8_DEFAULT_SITES, act_ranges=ranges)

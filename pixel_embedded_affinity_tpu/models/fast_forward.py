@@ -107,7 +107,8 @@ class _BlockW:
     def __init__(self, p, s, dtype, s2d, split_at: int | None = None,
                  name: str = "", int8_c1: bool = False,
                  int8_c2: bool = False, scales: dict | None = None,
-                 collect: dict | None = None):
+                 collect: dict | None = None,
+                 collect_q: float | None = None):
         # s2d: False = direct-resolution convs; "dense" = dense 3x3
         # block-space kernels (4x direct FLOPs, fewest ops); "2x2" = per-
         # output-parity 2x2 kernels (1.78x FLOPs) in XLA; "pallas" = the
@@ -124,6 +125,7 @@ class _BlockW:
         self.int8_c2 = int8_c2
         self.scales = scales or {}
         self.collect = collect
+        self.collect_q = collect_q
         if (int8_c1 or int8_c2) and s2d == "pallas":
             raise ValueError("int8 not supported on the pallas block form")
 
@@ -284,16 +286,21 @@ class _BlockW:
             return conv(a, wa) + conv(b, wb)
         return conv(x, w)
 
+    def _cstat(self, x):
+        """Calibration statistic at a quantization site: max|x|, or the
+        collect_q quantile of |x| (percentile clipping)."""
+        ax = jnp.abs(x).astype(jnp.float32)
+        if self.collect_q is not None:
+            return jnp.quantile(ax.ravel(), self.collect_q)
+        return jnp.max(ax)
+
     def _record_c1(self, x):
         if self.split_at is not None:
             a, b = x
-            self.collect[f"{self.name}.c1"] = jnp.max(
-                jnp.abs(a)).astype(jnp.float32)
-            self.collect[f"{self.name}.c1b"] = jnp.max(
-                jnp.abs(b)).astype(jnp.float32)
+            self.collect[f"{self.name}.c1"] = self._cstat(a)
+            self.collect[f"{self.name}.c1b"] = self._cstat(b)
         else:
-            self.collect[f"{self.name}.c1"] = jnp.max(
-                jnp.abs(x)).astype(jnp.float32)
+            self.collect[f"{self.name}.c1"] = self._cstat(x)
 
     def _c1_int8(self, x, conv=_conv):
         """conv1+project in int8; returns the f32 pre-activation."""
@@ -325,8 +332,7 @@ class _BlockW:
         y = jax.nn.relu(v[..., :self.n1])
         proj = v[..., self.n1:]
         if self.collect is not None:
-            self.collect[f"{self.name}.c2"] = jnp.max(
-                jnp.abs(y)).astype(jnp.float32)
+            self.collect[f"{self.name}.c2"] = self._cstat(y)
         if self.int8_c2:
             y2 = conv_i8(_conv, quantize_act(y, self.sx2), self.w2,
                          self.o2, self.h2_)
@@ -367,8 +373,7 @@ class _BlockW:
                 p_parts[2 * qy + qx] = blk[..., self.c1:]
         y1 = jnp.concatenate(y_parts, axis=-1)
         if self.collect is not None:
-            self.collect[f"{self.name}.c2"] = jnp.max(
-                jnp.abs(y1)).astype(jnp.float32)
+            self.collect[f"{self.name}.c2"] = self._cstat(y1)
         if self.int8_c2:
             y1q = quantize_act(y1, self.sx2)
         elif self.int8_c1:
@@ -426,7 +431,8 @@ def build_fast_resunet_forward(variables, *, dtype=jnp.bfloat16,
                                with_mask: bool = True,
                                input_format: str = "nhwc",
                                int8_sites=None, act_ranges=None,
-                               collect_ranges: bool = False):
+                               collect_ranges: bool = False,
+                               collect_quantile: float | None = None):
     """Returns fn(image) -> (embedding, mask_logits) matching
     ResidualUNet2DDeep.apply(variables, image, train=False)[4:6].
 
@@ -464,7 +470,8 @@ def build_fast_resunet_forward(variables, *, dtype=jnp.bfloat16,
                        int8_c1=f"{scope}.c1" in int8_sites,
                        int8_c2=f"{scope}.c2" in int8_sites,
                        scales=scales,
-                       collect=ranges_out if collect_ranges else None)
+                       collect=ranges_out if collect_ranges else None,
+                       collect_q=collect_quantile)
 
     f1 = params["down1"]["block"]["conv2"]["kernel"].shape[3]   # 32
     f2 = params["down2"]["block"]["conv2"]["kernel"].shape[3]   # 64
@@ -584,15 +591,19 @@ def build_fast_resunet_forward(variables, *, dtype=jnp.bfloat16,
 
 def calibrate_int8_ranges(variables, images, *, dtype=jnp.bfloat16,
                           with_mask: bool = True,
-                          input_format: str = "nhwc"):
+                          input_format: str = "nhwc",
+                          quantile: float | None = None):
     """Run the (non-quantized) fast forward over calibration batches and
     return {site: max|activation|} for every int8-candidate site. Feed the
     result to build_fast_resunet_forward(act_ranges=...). ``images`` is an
-    iterable of batches in the given input_format."""
+    iterable of batches in the given input_format. ``quantile`` switches
+    the per-batch statistic from max|x| to that quantile of |x|
+    (percentile clipping); batches are still aggregated by max."""
     fwd = build_fast_resunet_forward(variables, dtype=dtype,
                                      with_mask=with_mask,
                                      input_format=input_format,
-                                     collect_ranges=True)
+                                     collect_ranges=True,
+                                     collect_quantile=quantile)
     jfwd = jax.jit(lambda im: fwd(im)[2])
     ranges: dict = {}
     for im in images:

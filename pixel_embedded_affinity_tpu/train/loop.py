@@ -590,6 +590,7 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
                 # reference geometry: stride = (cz-8, cy/2, cx/2),
                 # pad = (4, 48, 48) at (18, 160, 160); scale for small crops
                 m = validate_3d(cfg, model, state, valid_ds, iters=it,
+                                decoders=tuple(cfg.train.valid_decoders),
                                 crop_size=(cz, cy, cx),
                                 stride=(max(cz - 8, 1), cy // 2, cx // 2),
                                 padding=(min(4, cz // 4), min(48, cy // 4),

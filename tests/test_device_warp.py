@@ -118,12 +118,13 @@ def test_rescale_matches_host_random_rescale(f):
 
 
 def test_elastic_field_stats():
-    """Displacement field distribution: zero-mean, std matching
-    gaussian_filter(N(0,1), sigma)*alpha (≈ alpha/(2*sigma*sqrt(pi)))."""
+    """Displacement field distribution: zero-mean, std matching the
+    reference expression gaussian_filter(U(-1,1), sigma)*alpha
+    (base std 1/sqrt(3), smoothing factor ~ 1/(2*sigma*sqrt(pi)))."""
     key = jax.random.PRNGKey(0)
     dx, dy = jax.jit(lambda k: dw.elastic_field(k, 128, 128))(key)
     dx = np.asarray(dx)
-    expected_std = 16.0 / (2 * 4.0 * np.sqrt(np.pi))
+    expected_std = 16.0 / (2 * 4.0 * np.sqrt(np.pi)) / np.sqrt(3.0)
     assert abs(dx.mean()) < 0.4
     assert 0.6 * expected_std < dx.std() < 1.4 * expected_std
 

@@ -131,3 +131,24 @@ def test_int8_requires_calibrated_ranges():
     with pytest.raises(ValueError, match="lack calibrated ranges"):
         build_fast_resunet_forward(variables, dtype=jnp.float32,
                                    int8_sites=("up4.c1",), act_ranges={})
+
+
+def test_calibration_quantile_and_k_image():
+    """Percentile calibration (quantile < 1) yields per-site statistics
+    <= the max-calibrated ones and still > 0; multi-image calibration
+    aggregates by max over batches (r4 hardening: k-image + percentile
+    clipping, model.int8_calib_k / int8_calib_pct)."""
+    variables, x = _tiny_setup()
+    mx = calibrate_int8_ranges(variables, [x], dtype=jnp.float32)
+    q = calibrate_int8_ranges(variables, [x], dtype=jnp.float32,
+                              quantile=0.99)
+    assert set(q) == set(mx)
+    assert all(q[k] <= mx[k] + 1e-6 for k in mx)
+    assert all(v > 0 for v in q.values())
+    assert any(q[k] < mx[k] * 0.999 for k in mx)  # the quantile bites
+
+    x2 = x * 2.0
+    both = calibrate_int8_ranges(variables, [x, x2], dtype=jnp.float32)
+    only2 = calibrate_int8_ranges(variables, [x2], dtype=jnp.float32)
+    for k in both:
+        assert both[k] == pytest.approx(max(mx[k], only2[k]), rel=1e-6)
