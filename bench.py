@@ -13,23 +13,33 @@ with the reference's per-offset roll+multiply+reduce affinity chain
 on the SAME chip. A same-dtype (bf16) reference-style graph is also timed and
 reported on stderr so the framework-level win is separable from the dtype win.
 
+Roofline fields: every JSON line carries ``mfu_pct`` (analytic model FLOPs —
+2x the conv MACs of the reference architecture, utils/flops.py — divided by
+time and the chip's dense matmul peak) and ``hbm_bw_pct`` (an analytic FLOOR
+on HBM traffic: params + input + output + each layer's logical activations
+written+read once; physical traffic is higher because XLA lane-pads C<128
+tensors — docs/PERF.md). Train lines use fwd+bwd = 3x forward FLOPs per
+view. The reference counts the same MACs via ptflops
+(scripts_cvppp/model/unet2d_residual.py:356-381).
+
 Timing methodology: on this environment block_until_ready does NOT
 synchronize (the axon tunnel acks dispatch, not completion), so wall-clock
 loops over async dispatches measure host throughput. We therefore scan N
 forwards inside ONE jit (with a per-iteration input perturbation so XLA
 cannot hoist the computation) and fetch a scalar reduction, which forces a
-real device round-trip; time = total / N.
+real device round-trip; time = total / N. min over reps (tunnel stalls).
 
-Prints one JSON line per benchmark — 2D train-step throughput, 3D
-tiled-inference throughput, then the HEADLINE (CVPPP 2D inference) line
-LAST so the driver's `parsed` stays the flagship metric. Every
-`vs_baseline` compares against the reference-faithful f32 computation
-graph compiled by XLA on the SAME chip — a proxy for the reference's
-(unmeasurable here) GPU, stated in each line's "baseline" field.
+Prints one JSON line per benchmark — 2D/3D train-step throughput, 3D
+tiled inference (reference AC3 serving geometry 100x1024^2 = 1690 tiles,
+then the toy-volume engine-pattern comparison), extra headline shapes
+(BBBC serving 336x688, B=1 latency), int8 serving, then the HEADLINE
+(CVPPP 2D inference) line LAST so the driver's `parsed` stays the flagship
+metric. Every `vs_baseline` states its baseline in the "baseline" field.
 """
 
 import functools
 import json
+import os
 import sys
 import time
 
@@ -37,6 +47,22 @@ import numpy as np
 
 BASELINE_NOTE = ("same-chip f32 reference-style XLA graph (proxy; the "
                  "reference's GPU is not available to measure)")
+
+_DEVICE_KIND = {"v": None}
+
+
+def _device_kind():
+    if _DEVICE_KIND["v"] is None:
+        import jax
+
+        _DEVICE_KIND["v"] = jax.devices()[0].device_kind
+    return _DEVICE_KIND["v"]
+
+
+def _roofline(flops, hbm_bytes, dt, dtype="bf16"):
+    from pixel_embedded_affinity_tpu.utils.flops import roofline_fields
+
+    return roofline_fields(flops, hbm_bytes, dt, _device_kind(), dtype)
 
 
 def _enable_compile_cache():
@@ -65,6 +91,7 @@ def bench_train_2d():
     from pixel_embedded_affinity_tpu.train.loop import build_model, init_state
     from pixel_embedded_affinity_tpu.train.optim import make_optimizer
     from pixel_embedded_affinity_tpu.train.train_step import make_train_step_2d
+    from pixel_embedded_affinity_tpu.utils.flops import resunet2d_flops
 
     on_tpu = jax.devices()[0].platform == "tpu"
     B, H, W = 2, 544, 544
@@ -118,6 +145,13 @@ def bench_train_2d():
     dt_ours = run(s2d=True)
     dt_ref = run(s2d=False)
     mp = B * H * W / 1e6
+    # train FLOPs: fwd + bwd ~= 3x forward, two views (clean + EMA, both
+    # back-propagated — scripts_cvppp/main.py:266-310)
+    fwd_flops, fwd_bytes, _ = resunet2d_flops(B, H, W)
+    tr_flops = 6 * fwd_flops
+    # traffic floor: fwd writes+reads acts once (in fwd_bytes), bwd reads
+    # them again and streams gradient tensors (~2x more) per view
+    tr_bytes = 2 * 3 * fwd_bytes
     print(f"# train-2d ours {dt_ours*1e3:.1f} ms/step | dense-graph "
           f"{dt_ref*1e3:.1f} ms/step", file=sys.stderr, flush=True)
     print(json.dumps({
@@ -126,26 +160,89 @@ def bench_train_2d():
         "unit": "MP/s/chip",
         "vs_baseline": round(dt_ref / dt_ours, 3),
         "baseline": BASELINE_NOTE,
+        **_roofline(tr_flops, tr_bytes, dt_ours),
     }), flush=True)
 
 
-def bench_tiled_3d():
-    """3D tiled-inference throughput (BASELINE config 5).
+def bench_train_3d():
+    """3D train-step throughput (AC3/AC4 training, BASELINE config 5
+    model): dual-view norm5+deep-sup step with device GT + device EMA
+    (the shipped training default) vs the same step on the f32 dense
+    graph."""
+    import jax
+    import jax.numpy as jnp
 
-    Ours: the ONE-DISPATCH device-resident engine (whole Gaussian-blend
-    tile sweep as a single jitted lax.scan; canvases stay in HBM) with the
-    bf16 predictor (model.bf16_tiled_infer serving mode; embedding cast
-    back to f32 before the affinity dot — 1.28x in-scan, docs/PERF.md r3).
-    Baseline: the reference-faithful pattern — per-tile-batch dispatch with
-    host-side accumulation (provider_valid.py:212-335 round-trips every
-    tile) running the dense f32 predictor, as the reference serves."""
+    from pixel_embedded_affinity_tpu.config import load_config
+    from pixel_embedded_affinity_tpu.train.loop import build_model, init_state
+    from pixel_embedded_affinity_tpu.train.optim import make_optimizer
+    from pixel_embedded_affinity_tpu.train.train_step import make_train_step_3d
+    from pixel_embedded_affinity_tpu.utils.flops import unet3d_pni_flops
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    B, D, H, W = 2, 18, 160, 160
+    rng = np.random.default_rng(0)
+    seg = (rng.integers(0, 9, (B, D, H // 16, W // 16)).astype(np.int32)
+           .repeat(16, axis=2).repeat(16, axis=3))
+    batch = {
+        "image": rng.random((B, D, H, W, 1)).astype(np.float32),
+        "seg": seg,
+    }
+
+    def run(use_pallas: bool, K: int = 5, reps: int = 2):
+        cfg = load_config("ac3ac4")
+        model = build_model(cfg)
+        tx = make_optimizer(1e-4)
+        state = init_state(cfg, model, tx, batch)
+        step = make_train_step_3d(model, tx, use_pallas=use_pallas,
+                                  device_gt=True, device_ema=True)
+        dbatch = {k: jax.device_put(v) for k, v in batch.items()}
+
+        @jax.jit
+        def multi(state, b):
+            def body(s, i):
+                s2, _, m = step(s, dict(b, step=i))
+                return s2, m["loss"]
+            s_final, losses = jax.lax.scan(
+                body, state, jnp.arange(K, dtype=jnp.int32))
+            return s_final, losses[-1]
+
+        state, last = multi(state, dbatch)
+        float(last)
+        print("# compiled train-3d", file=sys.stderr, flush=True)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            state, last = multi(state, dbatch)
+            float(last)
+            times.append(time.perf_counter() - t0)
+        return min(times) / K
+
+    dt_ours = run(use_pallas=on_tpu)
+    dt_ref = run(use_pallas=False)
+    mvox = B * D * H * W / 1e6
+    fwd_flops, fwd_bytes, _ = unet3d_pni_flops(B, D, H, W)
+    print(f"# train-3d ours {dt_ours*1e3:.1f} ms/step | roll-chain "
+          f"{dt_ref*1e3:.1f} ms/step", file=sys.stderr, flush=True)
+    print(json.dumps({
+        "metric": "3D train-step throughput (PNI UNet B=2 18x160x160, "
+                  "dual-view, device GT+EMA)",
+        "value": round(mvox / dt_ours, 3),
+        "unit": "MVox/s/chip",
+        "vs_baseline": round(dt_ref / dt_ours, 3),
+        "baseline": "same f32 step with the reference-style per-offset "
+                    "slice/roll affinity chain instead of the fused "
+                    "Pallas kernels (the reference trains f32)",
+        **_roofline(6 * fwd_flops, 2 * 3 * fwd_bytes, dt_ours),
+    }), flush=True)
+
+
+def _tiled_engine_setup():
     import jax
     import jax.numpy as jnp
 
     from pixel_embedded_affinity_tpu.config import load_config
     from pixel_embedded_affinity_tpu.ops import embedding_to_affinity_3d
     from pixel_embedded_affinity_tpu.ops.offsets import SHIFTS_3D
-    from pixel_embedded_affinity_tpu.parallel import TiledInference3D
     from pixel_embedded_affinity_tpu.train.loop import build_model
 
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -157,11 +254,6 @@ def bench_tiled_3d():
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((1, 18, 160, 160, 1), jnp.float32)
     variables = jax.jit(functools.partial(model.init, train=False))(rng, x0)
-
-    vol = np.random.default_rng(1).random((20, 320, 320)).astype(np.float32)
-    engine = TiledInference3D(crop_size=(18, 160, 160), stride=(10, 80, 80),
-                              padding=(4, 48, 48), batch_size=4,
-                              device_accumulate=False)
 
     def make_predict(mdl):
         @jax.jit
@@ -178,6 +270,129 @@ def bench_tiled_3d():
     @jax.jit
     def _reduce(cv, wm):  # scalar completion probe (eager ops are banned
         return jnp.sum(cv) + jnp.sum(wm)  # on the tunneled backend)
+
+    return predict, predict_bf16, _reduce, SHIFTS_3D
+
+
+def _tiled_stats(vol_shape, engine, n_channels):
+    """Analytic FLOPs + HBM floor for one tiled sweep of ``vol_shape``."""
+    from pixel_embedded_affinity_tpu.parallel.tiling import tile_grid
+    from pixel_embedded_affinity_tpu.utils.flops import unet3d_pni_flops
+
+    pad = engine.padding
+    pshape = tuple(s + 2 * p for s, p in zip(vol_shape, pad))
+    n_tiles = len(tile_grid(pshape, engine.crop_size, engine.stride))
+    cz, cy, cx = engine.crop_size
+    fwd_flops, fwd_bytes, _ = unet3d_pni_flops(1, cz, cy, cx, act_bytes=2)
+    # canvas accumulation: per tile, (K+1) crop-sized f32 read-modify-write
+    acc_bytes = n_tiles * (n_channels + 1) * cz * cy * cx * 4 * 2
+    return n_tiles, n_tiles * fwd_flops, n_tiles * fwd_bytes + acc_bytes
+
+
+def _hbm_peak_mb():
+    """Peak HBM use if the backend exposes memory_stats (best-effort)."""
+    import jax
+
+    try:
+        st = jax.local_devices()[0].memory_stats()
+        for k in ("peak_bytes_in_use", "bytes_in_use"):
+            if st and k in st:
+                return round(st[k] / 1e6)
+    except Exception:
+        pass
+    return None
+
+
+def bench_tiled_3d_full():
+    """3D tiled inference at the REFERENCE'S serving geometry: AC3 is
+    100x1024x1024, reflect-pad [4,48,48], crop (18,160,160), stride
+    (10,80,80) -> the reference's grid num_zyx=[10,13,13] = 1690 tiles
+    (scripts_ac3ac4/data/provider_valid.py:157-198, inference.py:123-168).
+
+    Ours: the one-dispatch device-resident engine, bf16 predictor, f32
+    canvases in HBM (~7 GB for the 12-channel padded canvas). Baseline:
+    the SAME engine with the f32 predictor (the reference serves f32) —
+    the per-tile-dispatch reference pattern is benchmarked on the toy
+    volume below (at 1690 tiles x seconds of tunnel latency per dispatch
+    it would take hours and measure only the link)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pixel_embedded_affinity_tpu.parallel import TiledInference3D
+
+    predict, predict_bf16, _reduce, SHIFTS_3D = _tiled_engine_setup()
+    vol = np.random.default_rng(1).random((100, 1024, 1024)).astype(np.float32)
+    # batch_size 8 = the serving default (infer/inference3d.py)
+    engine = TiledInference3D(crop_size=(18, 160, 160), stride=(10, 80, 80),
+                              padding=(4, 48, 48), batch_size=8,
+                              device_accumulate=False)
+    n_tiles, flops, hbm = _tiled_stats(vol.shape, engine, len(SHIFTS_3D))
+    print(f"# tiled-3d full geometry: {n_tiles} tiles", file=sys.stderr,
+          flush=True)
+
+    def run_once(pfn):
+        cv, wm = engine.run_device_resident(vol, pfn,
+                                            n_channels=len(SHIFTS_3D),
+                                            fetch=False)
+        float(_reduce(cv, wm))
+
+    def timed(pfn, label, reps=1):
+        run_once(pfn)  # compile + warm
+        print(f"# compiled tiled-3d-full {label}", file=sys.stderr,
+              flush=True)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run_once(pfn)
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    dt_ours = timed(predict_bf16, "bf16", reps=2)
+    peak_mb = _hbm_peak_mb()
+    dt_f32 = timed(predict, "f32")
+    mvox = vol.size / 1e6
+    print(f"# tiled-3d full {dt_ours:.1f} s/vol bf16 | {dt_f32:.1f} s/vol "
+          f"f32 | peak HBM {peak_mb} MB", file=sys.stderr, flush=True)
+    line = {
+        "metric": "3D tiled-inference throughput (PNI UNet, AC3 serving "
+                  "geometry 100x1024x1024, 1690 tiles, Gaussian-blend "
+                  "stitching, one-dispatch engine, bf16 predictor)",
+        "value": round(mvox / dt_ours, 2),
+        "unit": "MVox/s/chip",
+        "vs_baseline": round(dt_f32 / dt_ours, 3),
+        "baseline": "f32 predictor through the same one-dispatch engine "
+                    "(the reference serves f32; its per-tile-dispatch "
+                    "pattern is measured on the toy-volume line)",
+        **_roofline(flops, hbm, dt_ours),
+    }
+    if peak_mb:
+        line["peak_hbm_mb"] = peak_mb
+    print(json.dumps(line), flush=True)
+
+
+def bench_tiled_3d():
+    """3D tiled-inference engine comparison (toy volume).
+
+    Ours: the ONE-DISPATCH device-resident engine (whole Gaussian-blend
+    tile sweep as a single jitted lax.scan; canvases stay in HBM) with the
+    bf16 predictor (model.bf16_tiled_infer serving mode; embedding cast
+    back to f32 before the affinity dot — 1.28x in-scan, docs/PERF.md r3).
+    Baseline: the reference-faithful pattern — per-tile-batch dispatch with
+    host-side accumulation (provider_valid.py:212-335 round-trips every
+    tile) running the dense f32 predictor, as the reference serves. Kept
+    on a 20x320x320 toy volume because the per-dispatch pattern costs
+    seconds of tunnel latency per tile batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from pixel_embedded_affinity_tpu.parallel import TiledInference3D
+
+    predict, predict_bf16, _reduce, SHIFTS_3D = _tiled_engine_setup()
+    vol = np.random.default_rng(1).random((20, 320, 320)).astype(np.float32)
+    engine = TiledInference3D(crop_size=(18, 160, 160), stride=(10, 80, 80),
+                              padding=(4, 48, 48), batch_size=4,
+                              device_accumulate=False)
+    n_tiles, flops, hbm = _tiled_stats(vol.shape, engine, len(SHIFTS_3D))
 
     def run_ours(reps: int = 2):
         def once():
@@ -211,8 +426,8 @@ def bench_tiled_3d():
           f" + host accumulate {dt_ref:.2f} s/vol", file=sys.stderr,
           flush=True)
     print(json.dumps({
-        "metric": "3D tiled-inference throughput (PNI UNet, 20x320x320 vol,"
-                  " Gaussian-blend stitching, one-dispatch engine, bf16"
+        "metric": "3D tiled-inference throughput (PNI UNet, 20x320x320 toy"
+                  " vol, Gaussian-blend stitching, one-dispatch engine, bf16"
                   " predictor)",
         "value": round(mvox / dt_ours, 2),
         "unit": "MVox/s/chip",
@@ -220,10 +435,12 @@ def bench_tiled_3d():
         "baseline": "f32 predictor through the reference-pattern engine "
                     "(per-tile-batch dispatch + host accumulation, as the "
                     "reference serves)",
+        **_roofline(flops, hbm, dt_ours),
     }), flush=True)
 
 
-def main(B=8, H=544, W=544, shape_label=None, int8_line=False):
+def main(B=8, H=544, W=544, shape_label=None, int8_line=False,
+         full_baselines=True, latency_line=False):
     import jax
     import jax.numpy as jnp
 
@@ -232,6 +449,8 @@ def main(B=8, H=544, W=544, shape_label=None, int8_line=False):
     from pixel_embedded_affinity_tpu.ops.emb2aff import (
         embedding_to_affinity_2d, normalize_embedding)
     from pixel_embedded_affinity_tpu.ops.emb2aff_pallas import fused_affinity_2d
+    from pixel_embedded_affinity_tpu.utils.flops import (
+        emb2aff2d_flops, resunet2d_flops)
 
     on_tpu = jax.devices()[0].platform == "tpu"
     N = 20  # forwards per timed program
@@ -318,9 +537,14 @@ def main(B=8, H=544, W=544, shape_label=None, int8_line=False):
 
     dt_ours = timeit(_FastModel(), vars_fast, fused, x_override=x_packed)
     dt_ref_f32 = timeit(model_f32, vars_f32, ref_style)
-    dt_ref_same = timeit(model_fast, vars_fast, ref_style)
+    dt_ref_same = (timeit(model_fast, vars_fast, ref_style)
+                   if full_baselines else dt_ref_f32)
 
     mp = B * H * W / 1e6
+    net_flops, net_bytes, _ = resunet2d_flops(B, H, W)
+    aff_flops, aff_bytes = emb2aff2d_flops(B, H, W, len(offsets))
+    flops = net_flops + aff_flops
+    hbm = net_bytes + aff_bytes
 
     if int8_line and on_tpu:
         # optional int8 serving mode (model.int8_infer; ops/quant.py):
@@ -352,6 +576,9 @@ def main(B=8, H=544, W=544, shape_label=None, int8_line=False):
             "unit": "MP/s/chip",
             "vs_baseline": round((mp / dt_q) / (mp / dt_ref_f32), 3),
             "baseline": BASELINE_NOTE,
+            # mixed int8/bf16 path reported against the bf16 roof (only
+            # the measured-winning stages are quantized)
+            **_roofline(flops, hbm, dt_q),
         }), flush=True)
     value = mp / dt_ours
     base_f32 = mp / dt_ref_f32
@@ -361,12 +588,23 @@ def main(B=8, H=544, W=544, shape_label=None, int8_line=False):
           f" {dt_ref_same*1e3:.2f} ms ({value/base_same:.2f}x)",
           file=sys.stderr, flush=True)
     shape = shape_label or f"ResUNet2D {H}x{W}"
+    if latency_line:
+        print(json.dumps({
+            "metric": f"emb2aff inference latency ({shape})",
+            "value": round(dt_ours * 1e3, 2),
+            "unit": "ms/image",
+            "vs_baseline": round(dt_ref_f32 / dt_ours, 3),
+            "baseline": BASELINE_NOTE,
+            **_roofline(flops, hbm, dt_ours),
+        }), flush=True)
+        return
     print(json.dumps({
         "metric": f"megapixels/sec/chip emb2aff inference ({shape})",
         "value": round(value, 2),
         "unit": "MP/s/chip",
         "vs_baseline": round(value / base_f32, 3),
         "baseline": BASELINE_NOTE,
+        **_roofline(flops, hbm, dt_ours),
     }), flush=True)
 
 
@@ -375,7 +613,6 @@ def _require_device(timeout_s: float = 600.0):
     HANGS (not errors) while the axon tunnel is down, which would wedge the
     driver's end-of-round bench forever. Probe in a daemon thread; on
     timeout emit one honest JSON line and exit non-zero."""
-    import os
     import threading
 
     done = threading.Event()
@@ -403,17 +640,27 @@ def _require_device(timeout_s: float = 600.0):
 
 
 if __name__ == "__main__":
-    import os
-
     _enable_compile_cache()
     _require_device()
+    only = os.environ.get("PEA_BENCH_ONLY")  # one named section (iteration)
+    if only:
+        {"train2d": bench_train_2d, "train3d": bench_train_3d,
+         "tiled3d_full": bench_tiled_3d_full, "tiled3d": bench_tiled_3d,
+         "headline": lambda: main(shape_label="ResUNet2D 544x544",
+                                  int8_line=True)}[only]()
+        sys.exit(0)
     # secondary pipeline benches first; the headline inference line LAST
     # (the driver parses the last JSON line)
-    extras = [bench_train_2d, bench_tiled_3d]
-    if os.environ.get("PEA_BENCH_FULL") == "1":
-        # extra headline shapes (BBBC-scale 256^2, single-image 544^2)
-        extras += [lambda: main(8, 256, 256, "ResUNet2D 256x256 B=8"),
-                   lambda: main(1, 544, 544, "ResUNet2D 544x544 B=1")]
+    extras = [bench_train_2d, bench_train_3d]
+    if os.environ.get("PEA_BENCH_3D_TOY_ONLY") != "1":
+        extras.append(bench_tiled_3d_full)  # reference serving geometry
+    extras.append(bench_tiled_3d)
+    # extra headline shapes: BBBC serving crop (336x688,
+    # scripts_bbbc039v1 inference center-crop) + single-image latency
+    extras += [lambda: main(1, 336, 688, "ResUNet2D 336x688 B=1 BBBC "
+                            "serving shape", full_baselines=False),
+               lambda: main(1, 544, 544, "ResUNet2D 544x544 B=1",
+                            full_baselines=False, latency_line=True)]
     for fn in extras:
         try:
             fn()
