@@ -149,6 +149,11 @@ def main():
                                    device_gt=True)
     full = timed(full_step)
     print(f"full step:      {full:.1f} ms")
+    fused_step = make_train_step_2d(model, tx, offsets, use_pallas=on_tpu,
+                                    device_gt=True, fuse_loss=True)
+    fused = timed(fused_step)
+    print(f"loss-FUSED step: {fused:.1f} ms  (delta {full - fused:+.1f} ms, "
+          f"{100 * (full - fused) / full:.1f}%)")
     s_affs = timed(make_variant_step("sum_affs"))
     print(f"sum(affs) step: {s_affs:.1f} ms  (loss consumption = "
           f"{full - s_affs:.1f} ms)")

@@ -85,6 +85,14 @@ class TrainConfig:
     # validates with waterz + LMC (scripts_ac3ac4/main.py:314-335).
     valid_decoders: tuple = ("waterz",)
     use_pallas: bool = True
+    # fold the WeightedMSE criterion into the Pallas affinity kernels on
+    # the 2D train path (per-offset partial sums out of the forward, loss
+    # cotangent formed in-tile on the backward — the (B,K,H,W) gradient
+    # never round-trips HBM). Exact-math vs the unfused loss
+    # (tests/test_emb2aff_pallas.py::test_fused_wmse_*); measured -8.0 ms
+    # of the 99.8 ms B=2 544^2 dual-view step (docs/profile_train_split.py,
+    # ceiling 10.6 ms). Only engages with use_pallas + WeightedMSELoss.
+    fuse_loss: bool = True
     # >1: dispatch S chained train steps as ONE jitted lax.scan over S
     # stacked batches. On links where every dispatch costs fixed latency
     # (the tunneled chip here) this amortizes it S-fold; display/valid/

@@ -738,3 +738,405 @@ def _fused_cross_3d_bwd(shifts, tile_h, interpret, res, g):
 
 
 fused_cross_affinity_3d.defvjp(_fused_cross_3d_fwd, _fused_cross_3d_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Loss-fused variants (VERDICT r3 #4): the WeightedMSE consumption of the
+# affinities is folded INTO the kernels. Forward co-emits per-offset partial
+# sums  S_k = sum_p w_k (a_k m_k - t_k m_k)^2  while target/weight/mask are
+# streamed through VMEM once; backward recomputes a_k in-tile and forms the
+# WMSE cotangent g_k = gS_k * 2 w_k m_k (a_k m_k - t_k m_k) in registers, so
+# the (B, K, H, W) loss gradient never round-trips HBM (the reference
+# materializes affinities AND their grad per offset,
+# scripts_cvppp/loss/loss_embedding_mse.py:18-47).
+#
+# Contract: the affinities output is for MONITORING (relu'd pred) only — it
+# carries stop-gradient semantics; gradients flow exclusively through the
+# per-offset sums output. train_step returns pred as a no-grad aux, so this
+# loses nothing.
+# ---------------------------------------------------------------------------
+
+
+def _affinity_wmse_kernel(offsets, cur_ref, prev_ref, t_ref, w_ref, m_ref,
+                          out_ref, psum_ref):
+    cur = _normalize(cur_ref[0].astype(jnp.float32))
+    prev = _normalize(prev_ref[0].astype(jnp.float32))
+    for k, (oy, ox) in enumerate(offsets):
+        sy = -oy
+        shifted = _cols(_rows_up(cur, prev, sy), -ox)
+        a = jnp.sum(cur * shifted, axis=0)
+        out_ref[0, k] = a.astype(out_ref.dtype)
+        tk = t_ref[0, k].astype(jnp.float32)
+        wk = w_ref[0, k].astype(jnp.float32)
+        mk = m_ref[0, k].astype(jnp.float32)
+        d = a * mk - tk * mk
+        # per-offset partial sum, splat over one (8,128) tile (the minimal
+        # block shape the TPU lowering accepts for an output)
+        psum_ref[0, 0, k] = jnp.full((8, 128), jnp.sum(wk * d * d),
+                                     jnp.float32)
+
+
+def _pad_khw(x, tile_h, h, w, dtype=None):
+    """Pad a (B, K, H, W) tensor with the fwd halo/tile-alignment zeros."""
+    h_pad = tile_h + _round_up(h, tile_h) - h
+    w_pad = _round_up(max(w, 128), 128) - w
+    x = x if dtype is None else x.astype(dtype)
+    return jnp.pad(x, ((0, 0), (0, 0), (tile_h, h_pad - tile_h), (0, w_pad)))
+
+
+def _fused_wmse_2d_fwd_impl(e_bhwc, t, w_map, m, offsets, tile_h, interpret):
+    b, h, w, c = e_bhwc.shape
+    max_sy = max(-int(o[0]) for o in offsets)
+    assert tile_h >= max_sy >= 0
+    e = jnp.transpose(e_bhwc, (0, 3, 1, 2))
+    h_pad = tile_h + _round_up(h, tile_h) - h
+    w_pad = _round_up(max(w, 128), 128) - w
+    e = jnp.pad(e, ((0, 0), (0, 0), (tile_h, h_pad - tile_h), (0, w_pad)))
+    hp, wp = e.shape[2], e.shape[3]
+    n_tiles = hp // tile_h
+    k = len(offsets)
+    tp = _pad_khw(t, tile_h, h, w)
+    wmp = _pad_khw(w_map, tile_h, h, w)
+    mp = _pad_khw(m, tile_h, h, w)
+
+    kern = functools.partial(_affinity_wmse_kernel, tuple(map(tuple, offsets)))
+    vm = pltpu.VMEM
+    blk_e = pl.BlockSpec((1, c, tile_h, wp), lambda bi, i: (bi, 0, i, 0),
+                         memory_space=vm)
+    blk_ep = pl.BlockSpec((1, c, tile_h, wp),
+                          lambda bi, i: (bi, 0, jnp.maximum(i - 1, 0), 0),
+                          memory_space=vm)
+    blk_k = pl.BlockSpec((1, k, tile_h, wp), lambda bi, i: (bi, 0, i, 0),
+                         memory_space=vm)
+    affs, psums = pl.pallas_call(
+        kern,
+        grid=(b, n_tiles),
+        in_specs=[blk_e, blk_ep, blk_k, blk_k, blk_k],
+        out_specs=(blk_k,
+                   pl.BlockSpec((1, 1, k, 8, 128),
+                                lambda bi, i: (bi, i, 0, 0, 0),
+                                memory_space=vm)),
+        out_shape=(jax.ShapeDtypeStruct((b, k, hp, wp), e_bhwc.dtype),
+                   jax.ShapeDtypeStruct((b, n_tiles, k, 8, 128),
+                                        jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(e, e, tp, wmp, mp)
+    return (psums[:, :, :, 0, 0].sum(axis=(0, 1)),
+            affs[:, :, tile_h:tile_h + h, :w])
+
+
+def _wmse_grad(gs, a, tk, wk, mk):
+    d = a * mk - tk * mk
+    return gs * 2.0 * wk * mk * d
+
+
+def _affinity_wmse_bwd_kernel(offsets, gs_ref,
+                              e_prev_ref, e_cur_ref, e_next_ref,
+                              t_cur_ref, t_next_ref, w_cur_ref, w_next_ref,
+                              m_cur_ref, m_next_ref, out_ref):
+    """Backward with the WMSE cotangent formed in-tile: for each offset the
+    affinity is recomputed on the cur AND next row-tiles (the down-looking
+    term needs g below), g = gs_k * 2 w m (a m - t m), then the usual
+    dn(p) = sum_k [ g_k(p) n(p+o_k) + g_k(p-o_k) n(p-o_k) ]."""
+    n_prev = _normalize(e_prev_ref[0].astype(jnp.float32))
+    n_cur = _normalize(e_cur_ref[0].astype(jnp.float32))
+    n_next = _normalize(e_next_ref[0].astype(jnp.float32))
+    dn = jnp.zeros_like(n_cur)
+    for k, (oy, ox) in enumerate(offsets):
+        sy = -oy
+        gs = gs_ref[k]
+        nb_cur = _cols(_rows_up(n_cur, n_prev, sy), -ox)
+        a_cur = jnp.sum(n_cur * nb_cur, axis=0)
+        g_cur = _wmse_grad(gs, a_cur,
+                           t_cur_ref[0, k].astype(jnp.float32),
+                           w_cur_ref[0, k].astype(jnp.float32),
+                           m_cur_ref[0, k].astype(jnp.float32))
+        dn = dn + g_cur[None] * nb_cur
+        nb_next = _cols(_rows_up(n_next, n_cur, sy), -ox)
+        a_next = jnp.sum(n_next * nb_next, axis=0)
+        g_next = _wmse_grad(gs, a_next,
+                            t_next_ref[0, k].astype(jnp.float32),
+                            w_next_ref[0, k].astype(jnp.float32),
+                            m_next_ref[0, k].astype(jnp.float32))
+        gd = _cols(_rows_down(g_cur, g_next, sy), ox)
+        nd = _cols(_rows_down(n_cur, n_next, sy), ox)
+        dn = dn + gd[None] * nd
+    out_ref[0] = _normalize_vjp(e_cur_ref[0].astype(jnp.float32), n_cur,
+                                dn).astype(out_ref.dtype)
+
+
+def _fused_wmse_2d_bwd_impl(e_bhwc, t, w_map, m, g_s, offsets, tile_h,
+                            interpret):
+    b, h, w, c = e_bhwc.shape
+    k = len(offsets)
+    max_sy = max(-int(o[0]) for o in offsets)
+    assert tile_h >= max_sy >= 0
+    e = jnp.transpose(e_bhwc, (0, 3, 1, 2))
+    h_aligned = _round_up(h, tile_h)
+    w_pad = _round_up(max(w, 128), 128) - w
+    pads = ((0, 0), (0, 0), (tile_h, h_aligned - h + tile_h), (0, w_pad))
+    e = jnp.pad(e, pads)
+    tp = jnp.pad(t.astype(jnp.float32), pads)
+    wmp = jnp.pad(w_map.astype(jnp.float32), pads)
+    mp = jnp.pad(m.astype(jnp.float32), pads)
+    hp, wp = e.shape[2], e.shape[3]
+    n_tiles = h_aligned // tile_h
+
+    kern = functools.partial(_affinity_wmse_bwd_kernel,
+                             tuple(map(tuple, offsets)))
+    vm = pltpu.VMEM
+    blk_c = lambda off: pl.BlockSpec(  # noqa: E731
+        (1, c, tile_h, wp), lambda bi, i, off=off: (bi, 0, i + off, 0),
+        memory_space=vm)
+    blk_k = lambda off: pl.BlockSpec(  # noqa: E731
+        (1, k, tile_h, wp), lambda bi, i, off=off: (bi, 0, i + off, 0),
+        memory_space=vm)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # gs (K,)
+            blk_c(0), blk_c(1), blk_c(2),           # e prev/cur/next
+            blk_k(1), blk_k(2),                     # t cur/next
+            blk_k(1), blk_k(2),                     # w cur/next
+            blk_k(1), blk_k(2),                     # m cur/next
+        ],
+        out_specs=pl.BlockSpec((1, c, tile_h, wp),
+                               lambda bi, i: (bi, 0, i + 1, 0),
+                               memory_space=vm),
+        out_shape=jax.ShapeDtypeStruct((b, c, hp, wp), e_bhwc.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(g_s.astype(jnp.float32), e, e, e, tp, tp, wmp, wmp, mp, mp)
+    de = out[:, :, tile_h:tile_h + h, :w]
+    return jnp.transpose(de, (0, 2, 3, 1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_affinity_wmse_2d(e_bhwc, target, weight, mask, offsets,
+                           tile_h: int = 32, interpret: bool = False):
+    """(e, t, w, m) -> (per-offset WMSE sums (K,), affs (B, K, H, W)).
+
+    S_k = sum_{b,h,w} w_k (a_k m_k - t_k m_k)^2 — the caller applies the
+    criterion normalizer and any per-offset scaling. The affinities output
+    is stop-gradient (monitoring only); gradients flow through S.
+    """
+    return _fused_wmse_2d_fwd_impl(e_bhwc, target, weight, mask,
+                                   tuple(map(tuple, offsets)), tile_h,
+                                   interpret)
+
+
+def _fused_wmse_2d_fwd(e, t, w, m, offsets, tile_h, interpret):
+    out = _fused_wmse_2d_fwd_impl(e, t, w, m, tuple(map(tuple, offsets)),
+                                  tile_h, interpret)
+    return out, (e, t, w, m)
+
+
+def _fused_wmse_2d_bwd(offsets, tile_h, interpret, res, g):
+    e, t, w, m = res
+    g_s, _ = g  # affs cotangent ignored by contract (stop-gradient output)
+    de = _fused_wmse_2d_bwd_impl(e, t, w, m, g_s,
+                                 tuple(map(tuple, offsets)), tile_h,
+                                 interpret)
+    return (de, jnp.zeros_like(t), jnp.zeros_like(w), jnp.zeros_like(m))
+
+
+fused_affinity_wmse_2d.defvjp(_fused_wmse_2d_fwd, _fused_wmse_2d_bwd)
+
+
+def _cross_wmse_kernel(offsets, a_ref, b_cur_ref, b_prev_ref,
+                       t_ref, w_ref, m_ref, out_ref, psum_ref):
+    na = _normalize(a_ref[0].astype(jnp.float32))
+    nb_cur = _normalize(b_cur_ref[0].astype(jnp.float32))
+    nb_prev = _normalize(b_prev_ref[0].astype(jnp.float32))
+    for k, (oy, ox) in enumerate(offsets):
+        sy = -oy
+        shifted = _cols(_rows_up(nb_cur, nb_prev, sy), -ox)
+        a = jnp.sum(na * shifted, axis=0)
+        out_ref[0, k] = a.astype(out_ref.dtype)
+        tk = t_ref[0, k].astype(jnp.float32)
+        wk = w_ref[0, k].astype(jnp.float32)
+        mk = m_ref[0, k].astype(jnp.float32)
+        d = a * mk - tk * mk
+        # per-offset partial sum, splat over one (8,128) tile (the minimal
+        # block shape the TPU lowering accepts for an output)
+        psum_ref[0, 0, k] = jnp.full((8, 128), jnp.sum(wk * d * d),
+                                     jnp.float32)
+
+
+def _fused_cross_wmse_2d_fwd_impl(a_bhwc, b_bhwc, t, w_map, m, offsets,
+                                  tile_h, interpret):
+    b, h, w, c = a_bhwc.shape
+    max_sy = max(-int(o[0]) for o in offsets)
+    assert tile_h >= max_sy >= 0
+    at = jnp.transpose(a_bhwc, (0, 3, 1, 2))
+    bt = jnp.transpose(b_bhwc, (0, 3, 1, 2))
+    h_pad = tile_h + _round_up(h, tile_h) - h
+    w_pad = _round_up(max(w, 128), 128) - w
+    pads = ((0, 0), (0, 0), (tile_h, h_pad - tile_h), (0, w_pad))
+    at = jnp.pad(at, pads)
+    bt = jnp.pad(bt, pads)
+    hp, wp = at.shape[2], at.shape[3]
+    n_tiles = hp // tile_h
+    k = len(offsets)
+    tp = _pad_khw(t, tile_h, h, w)
+    wmp = _pad_khw(w_map, tile_h, h, w)
+    mp = _pad_khw(m, tile_h, h, w)
+
+    kern = functools.partial(_cross_wmse_kernel, tuple(map(tuple, offsets)))
+    vm = pltpu.VMEM
+    blk_c = pl.BlockSpec((1, c, tile_h, wp), lambda bi, i: (bi, 0, i, 0),
+                         memory_space=vm)
+    blk_cp = pl.BlockSpec((1, c, tile_h, wp),
+                          lambda bi, i: (bi, 0, jnp.maximum(i - 1, 0), 0),
+                          memory_space=vm)
+    blk_k = pl.BlockSpec((1, k, tile_h, wp), lambda bi, i: (bi, 0, i, 0),
+                         memory_space=vm)
+    affs, psums = pl.pallas_call(
+        kern,
+        grid=(b, n_tiles),
+        in_specs=[blk_c, blk_c, blk_cp, blk_k, blk_k, blk_k],
+        out_specs=(blk_k,
+                   pl.BlockSpec((1, 1, k, 8, 128),
+                                lambda bi, i: (bi, i, 0, 0, 0),
+                                memory_space=vm)),
+        out_shape=(jax.ShapeDtypeStruct((b, k, hp, wp), a_bhwc.dtype),
+                   jax.ShapeDtypeStruct((b, n_tiles, k, 8, 128),
+                                        jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(at, bt, bt, tp, wmp, mp)
+    return (psums[:, :, :, 0, 0].sum(axis=(0, 1)),
+            affs[:, :, tile_h:tile_h + h, :w])
+
+
+def _cross_wmse_bwd_kernel(offsets, gs_ref,
+                           a_cur_ref, a_next_ref, b_prev_ref, b_cur_ref,
+                           b_next_ref,
+                           t_cur_ref, t_next_ref, w_cur_ref, w_next_ref,
+                           m_cur_ref, m_next_ref, da_ref, db_ref):
+    """Cross-affinity WMSE backward, cotangent formed in-tile:
+    dna(p) = sum_k g_k(p) nb(p+o_k);  dnb(p) = sum_k g_k(p-o_k) na(p-o_k),
+    where a_k on the cur/next row tiles is recomputed from (na, nb)."""
+    na_cur = _normalize(a_cur_ref[0].astype(jnp.float32))
+    na_next = _normalize(a_next_ref[0].astype(jnp.float32))
+    nb_prev = _normalize(b_prev_ref[0].astype(jnp.float32))
+    nb_cur = _normalize(b_cur_ref[0].astype(jnp.float32))
+    nb_next = _normalize(b_next_ref[0].astype(jnp.float32))
+    dna = jnp.zeros_like(na_cur)
+    dnb = jnp.zeros_like(nb_cur)
+    for k, (oy, ox) in enumerate(offsets):
+        sy = -oy
+        gs = gs_ref[k]
+        nb_sh_cur = _cols(_rows_up(nb_cur, nb_prev, sy), -ox)
+        aff_cur = jnp.sum(na_cur * nb_sh_cur, axis=0)
+        g_cur = _wmse_grad(gs, aff_cur,
+                           t_cur_ref[0, k].astype(jnp.float32),
+                           w_cur_ref[0, k].astype(jnp.float32),
+                           m_cur_ref[0, k].astype(jnp.float32))
+        dna = dna + g_cur[None] * nb_sh_cur
+        nb_sh_next = _cols(_rows_up(nb_next, nb_cur, sy), -ox)
+        aff_next = jnp.sum(na_next * nb_sh_next, axis=0)
+        g_next = _wmse_grad(gs, aff_next,
+                            t_next_ref[0, k].astype(jnp.float32),
+                            w_next_ref[0, k].astype(jnp.float32),
+                            m_next_ref[0, k].astype(jnp.float32))
+        gd = _cols(_rows_down(g_cur, g_next, sy), ox)
+        na_d = _cols(_rows_down(na_cur, na_next, sy), ox)
+        dnb = dnb + gd[None] * na_d
+    da_ref[0] = _normalize_vjp(a_cur_ref[0].astype(jnp.float32), na_cur,
+                               dna).astype(da_ref.dtype)
+    db_ref[0] = _normalize_vjp(b_cur_ref[0].astype(jnp.float32), nb_cur,
+                               dnb).astype(db_ref.dtype)
+
+
+def _fused_cross_wmse_2d_bwd_impl(a_bhwc, b_bhwc, t, w_map, m, g_s, offsets,
+                                  tile_h, interpret):
+    b, h, w, c = a_bhwc.shape
+    k = len(offsets)
+    max_sy = max(-int(o[0]) for o in offsets)
+    assert tile_h >= max_sy >= 0
+    at = jnp.transpose(a_bhwc, (0, 3, 1, 2))
+    bt = jnp.transpose(b_bhwc, (0, 3, 1, 2))
+    h_aligned = _round_up(h, tile_h)
+    w_pad = _round_up(max(w, 128), 128) - w
+    pads = ((0, 0), (0, 0), (tile_h, h_aligned - h + tile_h), (0, w_pad))
+    at = jnp.pad(at, pads)
+    bt = jnp.pad(bt, pads)
+    tp = jnp.pad(t.astype(jnp.float32), pads)
+    wmp = jnp.pad(w_map.astype(jnp.float32), pads)
+    mp = jnp.pad(m.astype(jnp.float32), pads)
+    hp, wp = at.shape[2], at.shape[3]
+    n_tiles = h_aligned // tile_h
+
+    kern = functools.partial(_cross_wmse_bwd_kernel,
+                             tuple(map(tuple, offsets)))
+    vm = pltpu.VMEM
+    blk_c = lambda off: pl.BlockSpec(  # noqa: E731
+        (1, c, tile_h, wp), lambda bi, i, off=off: (bi, 0, i + off, 0),
+        memory_space=vm)
+    blk_k = lambda off: pl.BlockSpec(  # noqa: E731
+        (1, k, tile_h, wp), lambda bi, i, off=off: (bi, 0, i + off, 0),
+        memory_space=vm)
+    da, db = pl.pallas_call(
+        kern,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # gs (K,)
+            blk_c(1), blk_c(2),                     # a cur/next
+            blk_c(0), blk_c(1), blk_c(2),           # b prev/cur/next
+            blk_k(1), blk_k(2),                     # t cur/next
+            blk_k(1), blk_k(2),                     # w cur/next
+            blk_k(1), blk_k(2),                     # m cur/next
+        ],
+        out_specs=(
+            pl.BlockSpec((1, c, tile_h, wp), lambda bi, i: (bi, 0, i + 1, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, c, tile_h, wp), lambda bi, i: (bi, 0, i + 1, 0),
+                         memory_space=vm),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((b, c, hp, wp), a_bhwc.dtype),
+                   jax.ShapeDtypeStruct((b, c, hp, wp), b_bhwc.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(g_s.astype(jnp.float32), at, at, bt, bt, bt, tp, tp, wmp, wmp, mp, mp)
+    da = jnp.transpose(da[:, :, tile_h:tile_h + h, :w], (0, 2, 3, 1))
+    db = jnp.transpose(db[:, :, tile_h:tile_h + h, :w], (0, 2, 3, 1))
+    return da, db
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_cross_affinity_wmse_2d(a_bhwc, b_bhwc, target, weight, mask,
+                                 offsets, tile_h: int = 32,
+                                 interpret: bool = False):
+    """Cross-view (student, teacher) loss-fused variant; see
+    fused_affinity_wmse_2d. Returns (per-offset sums (K,), affs)."""
+    return _fused_cross_wmse_2d_fwd_impl(a_bhwc, b_bhwc, target, weight,
+                                         mask, tuple(map(tuple, offsets)),
+                                         tile_h, interpret)
+
+
+def _fused_cross_wmse_fwd(a, b, t, w, m, offsets, tile_h, interpret):
+    out = _fused_cross_wmse_2d_fwd_impl(a, b, t, w, m,
+                                        tuple(map(tuple, offsets)), tile_h,
+                                        interpret)
+    return out, (a, b, t, w, m)
+
+
+def _fused_cross_wmse_bwd(offsets, tile_h, interpret, res, g):
+    a, b, t, w, m = res
+    g_s, _ = g  # affs output is stop-gradient by contract
+    da, db = _fused_cross_wmse_2d_bwd_impl(a, b, t, w, m, g_s,
+                                           tuple(map(tuple, offsets)),
+                                           tile_h, interpret)
+    return (da, db, jnp.zeros_like(t), jnp.zeros_like(w),
+            jnp.zeros_like(m))
+
+
+fused_cross_affinity_wmse_2d.defvjp(_fused_cross_wmse_fwd,
+                                    _fused_cross_wmse_bwd)

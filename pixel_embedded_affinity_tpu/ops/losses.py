@@ -116,13 +116,31 @@ def embedding_loss_2d(embedding_bhwc: jnp.ndarray,
                       offsets: Sequence[Sequence[int]],
                       criterion: Criterion = weighted_mse,
                       use_pallas: bool = True,
-                      interpret: bool = False):
+                      interpret: bool = False,
+                      fuse_loss: bool = False):
     """Self-affinity loss over all offsets. Returns (loss, affs (B,K,H,W)).
 
     Per offset k: criterion(affs_k * mask_k, target_k * mask_k, weight_k) with
     the reference's (B, H, W)-shaped call (normalizer B*W for WeightedMSE);
     losses summed over offsets.
+
+    ``fuse_loss`` (requires use_pallas + WeightedMSE): the criterion is
+    folded into the Pallas kernel — per-offset partial sums come out of the
+    forward pass and the loss cotangent is formed in-tile on the backward,
+    so the (B,K,H,W) target/weight/mask consumption and the affinity
+    gradient never round-trip HBM. The returned affs are stop-gradient
+    (monitoring only).
     """
+    if fuse_loss and use_pallas and criterion is weighted_mse:
+        from .emb2aff_pallas import fused_affinity_wmse_2d
+
+        s, affs = fused_affinity_wmse_2d(
+            embedding_bhwc, target_bkhw, weightmap_bkhw,
+            mask_bkhw.astype(target_bkhw.dtype), tuple(map(tuple, offsets)),
+            32, interpret)
+        b, _, _, _ = embedding_bhwc.shape
+        w = embedding_bhwc.shape[2]
+        return jnp.sum(s) / (b * w), affs
     affs = _affs_2d(embedding_bhwc, offsets, use_pallas, interpret)
     mask = mask_bkhw.astype(affs.dtype)
     k = affs.shape[1]
@@ -143,7 +161,8 @@ def ema_embedding_loss_2d(embedding_bhwc: jnp.ndarray,
                           criterion: Criterion = weighted_mse,
                           affs0_weight: float = 1.0,
                           use_pallas: bool = False,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          fuse_loss: bool = False):
     """Cross-view loss: student embedding dotted with offset-shifted teacher.
 
     First two offsets are scaled by affs0_weight (reference parity).
@@ -152,7 +171,21 @@ def ema_embedding_loss_2d(embedding_bhwc: jnp.ndarray,
     (scripts_cvppp/data/data_consistency.py:36 gt.detach().clone()), so
     gradients flow only through the student branch. train_step.py applies
     jax.lax.stop_gradient before calling this.
+
+    ``fuse_loss``: criterion folded into the kernel (see embedding_loss_2d).
     """
+    if fuse_loss and use_pallas and criterion is weighted_mse:
+        from .emb2aff_pallas import fused_cross_affinity_wmse_2d
+
+        s, affs = fused_cross_affinity_wmse_2d(
+            embedding_bhwc, ema_embedding_bhwc, target_bkhw, weightmap_bkhw,
+            mask_bkhw.astype(target_bkhw.dtype), tuple(map(tuple, offsets)),
+            32, interpret)
+        b = embedding_bhwc.shape[0]
+        w = embedding_bhwc.shape[2]
+        coeff = jnp.asarray([affs0_weight if i < 2 else 1.0
+                             for i in range(len(offsets))], jnp.float32)
+        return jnp.dot(s, coeff) / (b * w), affs
     if use_pallas:
         from .emb2aff_pallas import fused_cross_affinity_2d
 

@@ -391,7 +391,8 @@ def train(cfg: Config, max_iters: int | None = None, data_override=None,
             ema_noise=cfg.data.if_ema_noise, ema_blur=cfg.data.if_ema_blur,
             ema_intensity=cfg.data.if_ema_intensity,
             ema_mask=cfg.data.if_ema_mask, ema_flip=cfg.data.if_ema_flip,
-            imagenet_norm=(cfg.data.dataset == "cvppp"))
+            imagenet_norm=(cfg.data.dataset == "cvppp"),
+            fuse_loss=cfg.train.fuse_loss)
 
     if jax.process_count() > 1:
         # multi-host: the replicated state must become global arrays before

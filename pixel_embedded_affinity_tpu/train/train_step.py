@@ -50,7 +50,7 @@ def make_train_step_2d(model, tx, offsets, *, neighbor=4,
                        disc_weight=1.0, device_ema=False, ema_seed=0,
                        ema_noise=False, ema_blur=False,
                        ema_intensity=True, ema_mask=True, ema_flip=True,
-                       imagenet_norm=True):
+                       imagenet_norm=True, fuse_loss=False):
     """``device_gt``: the batch carries only image/ema_image/seg/rules; GT
     affinities, weight maps, masks and pyramid targets are generated on
     device inside this jit (ops/affinity_jax.py) — ~12x less host->device
@@ -106,17 +106,18 @@ def make_train_step_2d(model, tx, offsets, *, neighbor=4,
                 emb, down[:, :n_off], down[:, n_off:2 * n_off],
                 down[:, 2 * n_off:3 * n_off], offsets[:n_off],
                 criterion=criterion, use_pallas=use_pallas,
-                interpret=interpret)
+                interpret=interpret, fuse_loss=fuse_loss)
             deep_losses.append(l)
 
         loss_embedding, pred = L.embedding_loss_2d(
             embedding, batch["affs"], batch["wmap"], batch["mask"], offsets,
-            criterion=criterion, use_pallas=use_pallas, interpret=interpret)
+            criterion=criterion, use_pallas=use_pallas, interpret=interpret,
+            fuse_loss=fuse_loss)
         loss_cross, _ = L.ema_embedding_loss_2d(
             embedding, ema_embedding, batch["affs"], batch["wmap"],
             batch["mask"], offsets, criterion=criterion,
             affs0_weight=affs0_weight, use_pallas=use_pallas,
-            interpret=interpret)
+            interpret=interpret, fuse_loss=fuse_loss)
 
         loss_self = (loss_embedding * dwf[0]
                      + deep_losses[0] * dwf[1] + deep_losses[1] * dwf[2]

@@ -184,3 +184,102 @@ def test_fused_cross_affinity_3d():
                   argnums=(0, 1))(a, b)
     for u, v in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(u), np.asarray(v), atol=1e-4)
+
+
+def _wmse_case(seed=0, b=2, h=96, w=80, c=16, levels=(1, 3, 5, 9, 27)):
+    rng = np.random.default_rng(seed)
+    offsets = multi_offset(list(levels), neighbor=4)
+    k = len(offsets)
+    emb = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    t = (rng.random((b, k, h, w)) > 0.5).astype(np.float32)
+    wm = rng.random((b, k, h, w)).astype(np.float32) * 2.0
+    m = (rng.random((b, k, h, w)) > 0.2).astype(np.float32)
+    return offsets, emb, t, wm, m
+
+
+def test_fused_wmse_2d_matches_unfused_loss():
+    """Loss value + affs of the loss-fused kernel == the unfused oracle."""
+    from pixel_embedded_affinity_tpu.ops import losses as L
+
+    offsets, emb, t, wm, m = _wmse_case()
+    args = (jnp.asarray(emb), jnp.asarray(t), jnp.asarray(wm),
+            jnp.asarray(m))
+    loss_f, affs_f = L.embedding_loss_2d(*args, offsets,
+                                         use_pallas=True,
+                                         interpret=INTERPRET,
+                                         fuse_loss=True)
+    loss_o, affs_o = L.embedding_loss_2d(*args, offsets, use_pallas=False)
+    np.testing.assert_allclose(float(loss_f), float(loss_o), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(affs_f), np.asarray(affs_o),
+                               atol=1e-5)
+
+
+def test_fused_wmse_2d_gradient_matches_oracle():
+    """d(loss)/d(embedding) of the in-tile cotangent == jax.vjp oracle."""
+    from pixel_embedded_affinity_tpu.ops import losses as L
+
+    offsets, emb, t, wm, m = _wmse_case(seed=3, h=67, w=50)
+    t_, wm_, m_ = jnp.asarray(t), jnp.asarray(wm), jnp.asarray(m)
+
+    def loss_fused(e):
+        l, _ = L.embedding_loss_2d(e, t_, wm_, m_, offsets,
+                                   use_pallas=True, interpret=INTERPRET,
+                                   fuse_loss=True)
+        return l
+
+    def loss_oracle(e):
+        l, _ = L.embedding_loss_2d(e, t_, wm_, m_, offsets,
+                                   use_pallas=False)
+        return l
+
+    g_f = np.asarray(jax.grad(loss_fused)(jnp.asarray(emb)))
+    g_o = np.asarray(jax.grad(loss_oracle)(jnp.asarray(emb)))
+    np.testing.assert_allclose(g_f, g_o, atol=2e-5)
+
+
+def test_fused_cross_wmse_2d_matches_unfused_loss():
+    from pixel_embedded_affinity_tpu.ops import losses as L
+
+    offsets, emb, t, wm, m = _wmse_case(seed=5)
+    rng = np.random.default_rng(6)
+    ema = rng.normal(size=emb.shape).astype(np.float32)
+    args = (jnp.asarray(emb), jnp.asarray(ema), jnp.asarray(t),
+            jnp.asarray(wm), jnp.asarray(m))
+    loss_f, affs_f = L.ema_embedding_loss_2d(*args, offsets,
+                                             affs0_weight=2.5,
+                                             use_pallas=True,
+                                             interpret=INTERPRET,
+                                             fuse_loss=True)
+    loss_o, affs_o = L.ema_embedding_loss_2d(*args, offsets,
+                                             affs0_weight=2.5,
+                                             use_pallas=False)
+    np.testing.assert_allclose(float(loss_f), float(loss_o), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(affs_f), np.asarray(affs_o),
+                               atol=1e-5)
+
+
+def test_fused_cross_wmse_2d_gradients_match_oracle():
+    """Both the student AND (pre-detach) teacher gradients match the
+    jax.vjp oracle — the train step detaches the teacher, but the kernel
+    must be correct for both."""
+    from pixel_embedded_affinity_tpu.ops import losses as L
+
+    offsets, emb, t, wm, m = _wmse_case(seed=7, h=67, w=50)
+    rng = np.random.default_rng(8)
+    ema = rng.normal(size=emb.shape).astype(np.float32)
+    t_, wm_, m_ = jnp.asarray(t), jnp.asarray(wm), jnp.asarray(m)
+
+    def loss(fused):
+        def f(a, b):
+            l, _ = L.ema_embedding_loss_2d(
+                a, b, t_, wm_, m_, offsets, affs0_weight=2.5,
+                use_pallas=fused, interpret=INTERPRET, fuse_loss=fused)
+            return l
+        return f
+
+    ga_f, gb_f = jax.grad(loss(True), argnums=(0, 1))(
+        jnp.asarray(emb), jnp.asarray(ema))
+    ga_o, gb_o = jax.grad(loss(False), argnums=(0, 1))(
+        jnp.asarray(emb), jnp.asarray(ema))
+    np.testing.assert_allclose(np.asarray(ga_f), np.asarray(ga_o), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_o), atol=2e-5)

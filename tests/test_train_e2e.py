@@ -282,3 +282,52 @@ def test_discriminative_mode_changes_loss():
     assert np.isfinite(ld) and ld > 0
     np.testing.assert_allclose(float(m_disc["loss"]),
                                float(m_aff["loss"]) + ld, rtol=1e-5)
+
+
+def test_fuse_loss_step_matches_unfused(cvppp_data):
+    """fuse_loss=True (criterion folded into the Pallas kernels) must
+    reproduce the unfused step: same loss metrics and same params after
+    one update (interpret-mode kernels on CPU)."""
+    import jax
+    import numpy as np
+
+    from pixel_embedded_affinity_tpu.data.cvppp import CVPPPTrain
+    from pixel_embedded_affinity_tpu.data.provider import Provider
+    from pixel_embedded_affinity_tpu.ops import multi_offset
+    from pixel_embedded_affinity_tpu.train.loop import (build_model,
+                                                        init_state)
+    from pixel_embedded_affinity_tpu.train.optim import make_optimizer
+    from pixel_embedded_affinity_tpu.train.train_step import (
+        make_train_step_2d)
+
+    cfg = load_config("cvppp", overrides={
+        "data": {"data_folder": cvppp_data, "size": 64}})
+    cfg.model.filters = (8, 12, 16, 24, 32)
+    cfg.model.s2d_train = False
+    cfg.data.device_gt = False
+    ds = CVPPPTrain(cvppp_data, size=64, shifts=(1, 3, 5, 9, 27), seed=3)
+    provider = Provider(ds, batch_size=2, num_workers=1, seed=3)
+    batch = provider.next()
+    provider.close()
+
+    model = build_model(cfg)
+    tx = make_optimizer(1e-4)
+    offsets = multi_offset([1, 3, 5, 9, 27], neighbor=4)
+    kw = dict(use_pallas=True, interpret=True)
+    step_u = jax.jit(make_train_step_2d(model, tx, offsets, **kw))
+    step_f = jax.jit(make_train_step_2d(model, tx, offsets, fuse_loss=True,
+                                        **kw))
+
+    s0 = init_state(cfg, model, tx, batch)
+    su, pu, mu = step_u(s0, batch)
+    s0 = init_state(cfg, model, tx, batch)
+    sf, pf, mf = step_f(s0, batch)
+
+    assert np.isclose(float(mu["loss"]), float(mf["loss"]), rtol=1e-5)
+    assert np.isclose(float(mu["loss_cross"]), float(mf["loss_cross"]),
+                      rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pu), np.asarray(pf), atol=1e-5)
+    lu = jax.tree_util.tree_leaves(su.params)
+    lf = jax.tree_util.tree_leaves(sf.params)
+    for a, b in zip(lu, lf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
