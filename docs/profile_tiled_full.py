@@ -41,20 +41,25 @@ def main():
     def predict_free(tiles):
         # data-dependent but compute-free: one scalar per tile broadcast
         # (prevents hoisting; costs ~nothing)
-        s = jnp.sum(tiles, axis=(1, 2, 3, 4), keepdims=True)
+        s = jnp.sum(tiles, axis=(1, 2, 3, 4))  # (B,)
         return jnp.broadcast_to(
-            s[:, :, :, :, 0], (tiles.shape[0], len(SHIFTS_3D), 18, 160, 160))
+            s[:, None, None, None, None],
+            (tiles.shape[0], len(SHIFTS_3D), 18, 160, 160))
 
-    vol = np.random.default_rng(1).random((100, 1024, 1024)).astype(np.float32)
+    # upload once; the engine accepts a device-resident volume (repeat
+    # sweeps must not re-measure the ~400 MB tunnel transfer)
+    vol = jnp.asarray(
+        np.random.default_rng(1).random((100, 1024, 1024)).astype(np.float32))
 
     @jax.jit
     def _reduce(cv, wm):
         return jnp.sum(cv) + jnp.sum(wm)
 
-    def timed(pfn, bs, reps=1):
+    def timed(pfn, bs, reps=1, dense=True):
         engine = TiledInference3D(crop_size=(18, 160, 160),
                                   stride=(10, 80, 80), padding=(4, 48, 48),
-                                  batch_size=bs, device_accumulate=False)
+                                  batch_size=bs, device_accumulate=False,
+                                  dense=dense)
 
         def once():
             cv, wm = engine.run_device_resident(
@@ -68,13 +73,18 @@ def main():
             times.append(time.perf_counter() - t0)
         return min(times)
 
-    t_free8 = timed(predict_free, 8)
-    print(f"engine-only (free predictor, B=8): {t_free8:.1f} s/vol",
+    t_free_sc = timed(predict_free, 8, dense=False)
+    print(f"engine-only SCATTER (free predictor, B=8): {t_free_sc:.1f} s/vol",
           flush=True)
-    for bs in (8, 16):
-        t = timed(predict, bs)
-        print(f"full engine B={bs}: {t:.1f} s/vol "
-              f"({t / 1690 * 1e3:.1f} ms/tile)", flush=True)
+    t_free_dn = timed(predict_free, 8, dense=True)
+    print(f"engine-only DENSE-STRIP (free predictor): {t_free_dn:.1f} s/vol",
+          flush=True)
+    t_sc = timed(predict, 8, dense=False)
+    print(f"full engine SCATTER B=8: {t_sc:.1f} s/vol "
+          f"({t_sc / 1690 * 1e3:.1f} ms/tile)", flush=True)
+    t_dn = timed(predict, 8, dense=True)
+    print(f"full engine DENSE-STRIP (fwd chunk 8): {t_dn:.1f} s/vol "
+          f"({t_dn / 1690 * 1e3:.1f} ms/tile)", flush=True)
 
 
 if __name__ == "__main__":

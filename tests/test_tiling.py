@@ -194,3 +194,64 @@ def test_mesh_native_tiled_inference_matches_single_device():
 
     out3 = meshed.run(vol, predict_fn, n_channels=3)
     np.testing.assert_allclose(out1, out3, atol=1e-5)
+
+
+def test_dense_strip_sweep_matches_scatter_path():
+    """Regular-grid dense-strip sweep == per-tile scatter stitching.
+
+    The reference AC3 serving geometry is exactly regular; the dense
+    sweep (static x-interleave + lane-aligned strip updates) must
+    reproduce the scatter path's stitched canvas on a content-dependent
+    predictor. Geometry here is a scaled-down regular grid (crop = 2x
+    stride in every dim, no clamping)."""
+    import jax.numpy as jnp
+
+    from pixel_embedded_affinity_tpu.parallel.tiling import (
+        regular_grid_dims)
+
+    rng = np.random.default_rng(7)
+    vol = rng.random((16, 56, 56)).astype(np.float32)
+
+    def predict_fn(tiles):  # (B, d, h, w, 1) -> (B, 2, d, h, w)
+        t = tiles[..., 0]
+        return jnp.stack([t * 2.0, jnp.flip(t, axis=-1)], axis=1)
+
+    kw = dict(crop_size=(8, 16, 16), stride=(4, 8, 8), padding=(2, 4, 4),
+              batch_size=4)
+    engine = TiledInference3D(**kw, dense=True)
+    padded = tuple(v + 2 * p for v, p in zip(vol.shape, kw["padding"]))
+    assert regular_grid_dims(padded, kw["crop_size"], kw["stride"]) is not None
+
+    dense = engine.run_device_resident(vol, predict_fn, n_channels=2)
+    scatter = engine.run(vol, predict_fn, n_channels=2)  # per-batch scatter
+    np.testing.assert_allclose(dense, scatter, atol=1e-5)
+    # the scatter device-resident sweep must agree too (cached-sweep path)
+    sc2 = TiledInference3D(**kw).run_device_resident(vol, predict_fn,
+                                                     n_channels=2)
+    np.testing.assert_allclose(sc2, scatter, atol=1e-5)
+
+
+def test_dense_strip_fallback_on_irregular_grid():
+    """Geometries the dense sweep does not admit (x crop not a stride
+    multiple here, plus a z-clamped grid) must fall back to the scatter
+    sweep and still stitch correctly (constant predictor -> constant)."""
+    import jax.numpy as jnp
+
+    from pixel_embedded_affinity_tpu.parallel.tiling import (
+        regular_grid_dims)
+
+    vol = np.random.default_rng(3).random((13, 40, 44)).astype(np.float32)
+    kw = dict(crop_size=(8, 16, 16), stride=(4, 8, 12), padding=(2, 4, 4),
+              batch_size=4)
+    padded = tuple(v + 2 * p for v, p in zip(vol.shape, kw["padding"]))
+    # z: (17-8)%4 != 0 -> clamped grid; x: 16 % 12 != 0 -> no dense split
+    assert regular_grid_dims(padded, kw["crop_size"], kw["stride"]) is None
+    assert kw["crop_size"][2] % kw["stride"][2] != 0
+
+    def predict_fn(tiles):
+        return jnp.full((tiles.shape[0], 2) + tiles.shape[1:4], 0.3,
+                        jnp.float32)
+
+    engine = TiledInference3D(**kw)
+    out = engine.run_device_resident(vol, predict_fn, n_channels=2)
+    np.testing.assert_allclose(out, 0.3, atol=1e-5)
