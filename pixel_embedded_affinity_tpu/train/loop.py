@@ -173,6 +173,7 @@ def validate_2d(cfg: Config, eval_step, state, valid_dataset, offsets,
     import jax
 
     losses, dices, diffs, vois, arands = [], [], [], [], []
+    ajis, f1s, pqs = [], [], []
     for i in range(len(valid_dataset)):
         s = valid_dataset[i]
         batch = {k: v[None] for k, v in s.items()}
@@ -203,15 +204,34 @@ def validate_2d(cfg: Config, eval_step, state, valid_dataset, offsets,
         vs, vm = voi(gt, seg)
         vois.append(vs + vm)
         arands.append(adapted_rand_error(gt, seg)[0])
+        if cfg.train.mask_weight:
+            # the reference's BBBC validation reports the AJI family
+            # (scripts_bbbc039v1/main.py:369-434), not SBD
+            from ..metrics import agg_jc_index, pixel_f1, get_fast_pq, \
+                remap_label
+
+            gtr = remap_label(gt.astype(np.int64))
+            pr = remap_label(seg.astype(np.int64))
+            if pr.max() == 0 or gtr.max() == 0:
+                ajis.append(0.0); f1s.append(0.0); pqs.append(0.0)
+            else:
+                ajis.append(float(agg_jc_index(gtr, pr)))
+                f1s.append(float(pixel_f1(gtr, pr)))
+                pqs.append(float(get_fast_pq(gtr, pr)[0][2]))
         if i == 0 and show_dir is not None:
             from ..utils.show import val_show
 
             val_show(iters, out_affs[-1], s["affs"][-1], seg, gt, show_dir)
-    return {"valid/loss": float(np.mean(losses)),
-            "valid/SBD": float(np.mean(dices)),
-            "valid/DiC": float(np.mean(diffs)),
-            "valid/VOI": float(np.mean(vois)),
-            "valid/ARAND": float(np.mean(arands))}
+    out = {"valid/loss": float(np.mean(losses)),
+           "valid/SBD": float(np.mean(dices)),
+           "valid/DiC": float(np.mean(diffs)),
+           "valid/VOI": float(np.mean(vois)),
+           "valid/ARAND": float(np.mean(arands))}
+    if ajis:
+        out.update({"valid/AJI": float(np.mean(ajis)),
+                    "valid/F1": float(np.mean(f1s)),
+                    "valid/PQ": float(np.mean(pqs))})
+    return out
 
 
 def validate_3d(cfg: Config, model, state, valid_volume, iters: int = 0,
