@@ -17,11 +17,15 @@ Timing: N-scan inside one jit + scalar fetch, min over reps (bench.py
 methodology — block_until_ready does not synchronize on this tunnel).
 """
 import functools
+import os
+import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pixel_embedded_affinity_tpu.ops.conv3x3_blocked import conv3x3_blocked
 
@@ -90,11 +94,36 @@ def main():
             v = conv3x3_blocked(v, w, relu=True)
         return v
 
+    from pixel_embedded_affinity_tpu.ops.conv3x3_blocked import (
+        conv3x3_blocked_chain, blocked_ingest, conv3x3_blocked_flat)
+
+    def blk_chained(v):
+        return conv3x3_blocked_chain(v, ws, relu=True)
+
     t_xla = timeit(xla_chain, x)
     t_blk = timeit(blk_chain, x)
+    t_chn = timeit(blk_chained, x)
     print(f"3-conv chain 64->64 @272^2: XLA {t_xla:.2f} ms | blocked "
-          f"{t_blk:.2f} ms (marginal/conv {t_blk / 3:.2f} vs "
+          f"per-conv-relayout {t_blk:.2f} ms | CHAINED one-ingest "
+          f"{t_chn:.2f} ms (marginal/conv {t_chn / 3:.2f} vs XLA "
           f"{t_xla / 3:.2f})", flush=True)
+
+    # kernel-core-only marginal: time k=3 vs k=6 chains in flat form (same
+    # single ingest/egress) — the difference isolates 3 pure in-stream convs.
+    ws6 = ws + ws
+
+    def chain_k(v, wlist):
+        xf, g = blocked_ingest(v, top=16, left=len(wlist) + 1)
+        oy, ox = 16, len(wlist) + 1
+        for w in wlist:
+            xf = conv3x3_blocked_flat(xf, w, g, oy, ox, relu=True)
+            oy, ox = oy - 1, ox - 1
+        return xf
+
+    t3 = timeit(lambda v: chain_k(v, ws), x)
+    t6 = timeit(lambda v: chain_k(v, ws6), x)
+    print(f"flat-chain marginal (k=6 minus k=3)/3: "
+          f"{(t6 - t3) / 3:.3f} ms/conv (XLA {t_xla / 3:.3f})", flush=True)
 
 
 if __name__ == "__main__":

@@ -207,3 +207,155 @@ def conv3x3_blocked(x: jnp.ndarray, w: jnp.ndarray,
     # (B, R8, bx*Cout) -> (B, R8*bx, Cout) is a free reshape (pixel-major)
     out = out.reshape(b, n_tiles * tile_h, wp, cout)
     return out[:, :h, :wd, :]
+
+
+# --------------------------------------------------------------------------
+# Chained form: blocked layout carried END-TO-END through a conv stack
+# (VERDICT r3 #5 / docs/PERF.md "the next lever"). One NHWC->blocked ingest,
+# k convs that stay in the padded blocked stream, one egress. Each conv
+# shifts the image up-left by one pixel inside the padded canvas (the same
+# alignment the single-shot kernel uses before its crop); the epilogue
+# re-zeroes everything outside the shifted image so the output is directly
+# the next conv's zero-padded input. Restricted to C->C convs with
+# C in {16, 32, 64, 128} (one channel chunk) — the s2d stage case
+# (272^2 x C64) this lever targets.
+# --------------------------------------------------------------------------
+
+
+def _kernel_chain(wpb, th_blocks, n_s, bx, cc, oy, ox, h, wd, relu,
+                  out_dtype, cur_ref, halo_ref, w_ref, scale_ref, shift_ref,
+                  out_ref):
+    i = pl.program_id(1)
+    flat = jnp.concatenate([cur_ref[0, 0], halo_ref[0, 0]], axis=0)
+    span = th_blocks + 2 * wpb + n_s
+    shifted = [flat]
+    for s in range(1, n_s):
+        shifted.append(flat[s:s + span])
+
+    acc = jnp.zeros((th_blocks, out_ref.shape[-1]), jnp.float32)
+    for dy in range(3):
+        base = dy * wpb
+        for s in range(n_s):
+            lhs = shifted[s][base:base + th_blocks]
+            acc = acc + jnp.dot(lhs, w_ref[0, dy, s],
+                                preferred_element_type=jnp.float32)
+
+    res = acc * scale_ref[0] + shift_ref[0]
+    if relu:
+        res = jnp.maximum(res, 0.0)
+    # mask: the output image sits at rows [oy, oy+h) x cols [ox, ox+wd) of
+    # the padded canvas; everything else (incl. the garbage the last grid
+    # tile computes from uncovered slack rows) must be EXACTLY zero so the
+    # result chains as the next conv's zero-padded input.
+    row = i * th_blocks + jax.lax.broadcasted_iota(jnp.int32,
+                                                   (th_blocks, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (th_blocks, 128), 1)
+    y_p = row // wpb
+    px = (row % wpb) * bx + lane // cc
+    valid = ((y_p >= oy) & (y_p < oy + h) & (px >= ox) & (px < ox + wd))
+    out_ref[0] = jnp.where(valid, res, 0.0).astype(out_dtype)
+
+
+class BlockedGeom:
+    """Static geometry of a padded blocked pixel stream."""
+
+    def __init__(self, b, h, wd, cc, top, left, tile_h):
+        bx = 128 // cc
+        self.b, self.h, self.wd, self.cc, self.bx = b, h, wd, cc, bx
+        self.top, self.left, self.tile_h = top, left, tile_h
+        self.wp = _round_up(wd + left + 2, 16 * bx)
+        self.hp = _round_up(top + h + 2, tile_h) + tile_h
+        self.alloc = self.hp + tile_h  # slack tile: halo reads stay in-bounds
+        self.wpb = self.wp // bx
+        self.th_blocks = tile_h * self.wpb
+        self.n_tiles = self.hp // tile_h
+
+
+def blocked_ingest(x: jnp.ndarray, top: int, left: int,
+                   tile_h: int = 16) -> tuple[jnp.ndarray, BlockedGeom]:
+    """(B, H, W, C) NHWC -> padded blocked stream (B, 1, R, 128) with the
+    image at rows [top, top+H) x cols [left, left+W); zeros elsewhere."""
+    b, h, wd, c = x.shape
+    g = BlockedGeom(b, h, wd, c, top, left, tile_h)
+    xp = jnp.pad(x, ((0, 0), (top, g.alloc - top - h),
+                     (left, g.wp - left - wd), (0, 0)))
+    return xp.reshape(b, 1, g.alloc * g.wpb, 128), g
+
+
+def conv3x3_blocked_flat(xflat: jnp.ndarray, w: jnp.ndarray,
+                         g: BlockedGeom, oy: int, ox: int,
+                         scale: jnp.ndarray | None = None,
+                         shift: jnp.ndarray | None = None,
+                         relu: bool = False,
+                         interpret: bool = False) -> jnp.ndarray:
+    """One SAME 3x3 conv on a padded blocked stream whose image sits at
+    (oy, ox); returns the same-shape stream with the image at (oy-1, ox-1).
+    Requires Cout == Cin == g.cc (so the output IS the next conv's input)."""
+    cc, bx, wpb, th_blocks = g.cc, g.bx, g.wpb, g.th_blocks
+    cout = w.shape[3]
+    assert w.shape[2] == cc and cout == cc, "chain form needs C->C convs"
+    assert oy >= 1 and ox >= 1, "image must keep a zero border to shift into"
+    n_s = 3 if bx == 1 else 2
+    if scale is None:
+        scale = jnp.ones((cout,), jnp.float32)
+    if shift is None:
+        shift = jnp.zeros((cout,), jnp.float32)
+    scale_t = jnp.tile(scale.astype(jnp.float32), bx).reshape(1, bx * cout)
+    shift_t = jnp.tile(shift.astype(jnp.float32), bx).reshape(1, bx * cout)
+    wpk = pack_weights_blocked(w, cc).astype(xflat.dtype)
+
+    kern = functools.partial(_kernel_chain, wpb, th_blocks, n_s, bx, cc,
+                             oy - 1, ox - 1, g.h, g.wd, relu, xflat.dtype)
+    out = pl.pallas_call(
+        kern,
+        grid=(g.b, g.n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, th_blocks, 128),
+                         lambda bi, i: (bi, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 4 * wpb, 128),
+                         lambda bi, i: (bi, 0, (i + 1) * (g.tile_h // 4), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n_s, 128, bx * cout),
+                         lambda bi, i: (0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bx * cout), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bx * cout), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th_blocks, 128),
+                               lambda bi, i: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g.b, g.alloc * wpb, 128),
+                                       xflat.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xflat, xflat, wpk, scale_t, shift_t)
+    return out[:, None]
+
+
+def blocked_egress(yflat: jnp.ndarray, g: BlockedGeom, oy: int,
+                   ox: int) -> jnp.ndarray:
+    """Padded blocked stream -> NHWC image at (oy, ox)."""
+    y = yflat.reshape(g.b, g.alloc, g.wp, g.cc)
+    return y[:, oy:oy + g.h, ox:ox + g.wd, :]
+
+
+def conv3x3_blocked_chain(x: jnp.ndarray, weights, scales=None, shifts=None,
+                          relu: bool = True, tile_h: int = 16,
+                          interpret: bool = False) -> jnp.ndarray:
+    """k chained SAME 3x3 C->C convs (each + scale/shift + optional ReLU)
+    paying ONE blocked ingest + ONE egress. x: (B, H, W, C), C in
+    {16, 32, 64, 128}; weights: list of (3, 3, C, C)."""
+    k = len(weights)
+    scales = scales if scales is not None else [None] * k
+    shifts = shifts if shifts is not None else [None] * k
+    xflat, g = blocked_ingest(x, top=tile_h, left=k + 1, tile_h=tile_h)
+    oy, ox = tile_h, k + 1
+    for w, sc, sh in zip(weights, scales, shifts):
+        xflat = conv3x3_blocked_flat(xflat, w, g, oy, ox, sc, sh, relu,
+                                     interpret=interpret)
+        oy, ox = oy - 1, ox - 1
+    return blocked_egress(xflat[:, 0], g, oy, ox)

@@ -32,6 +32,28 @@ def test_conv3x3_blocked_matches_lax(cin, cout):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
 
 
+@pytest.mark.parametrize("c,k", [(64, 3), (16, 2), (128, 2), (32, 4)])
+def test_conv3x3_blocked_chain_matches_lax(c, k):
+    """Chained form (one ingest, k convs in the blocked stream, one egress)
+    vs the XLA conv chain — exercises the pad re-zeroing mask."""
+    from pixel_embedded_affinity_tpu.ops.conv3x3_blocked import (
+        conv3x3_blocked_chain)
+    rng = np.random.default_rng(c + k)
+    x = jnp.asarray(rng.normal(size=(2, 21, 26, c)).astype(np.float32))
+    ws = [jnp.asarray(rng.normal(size=(3, 3, c, c)).astype(np.float32) * 0.1)
+          for _ in range(k)]
+    scs = [jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+           for _ in range(k)]
+    shs = [jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+           for _ in range(k)]
+    ref = x
+    for w, sc, sh in zip(ws, scs, shs):
+        ref = jax.nn.relu(_conv(ref, w) * sc + sh)
+    got = conv3x3_blocked_chain(x, ws, scs, shs, relu=True,
+                                interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4)
+
+
 def test_conv3x3_blocked_inside_jit():
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.normal(size=(1, 24, 24, 16)).astype(np.float32))
