@@ -21,3 +21,5 @@ from .affinity_jax import (
     gen_affs_jax, weight_binary_ratio_jax, label_pyramid_jax,
     build_targets_2d_jax,
 )
+from .spixel import poolfeat, upfeat, compute_semantic_pos_loss
+from .losses_extra import local_embedding_loss

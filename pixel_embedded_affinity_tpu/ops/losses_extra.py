@@ -179,3 +179,97 @@ def embedding_loss_orthogonal(embedding_bhwc, target_bkhw, weight_bkhw,
                        target_bkhw[:, i] * mask[:, i], weight_bkhw[:, i])
         loss = loss + (li * affs0_weight if i < 2 else li)
     return loss, affs
+
+
+def local_embedding_loss(embedding_bhwc, seg_bhw, neighbor_bnm,
+                         include_bg: bool = True, norm: bool = True):
+    """Local cosine embedding loss ~ scripts_cvppp/loss/loss_local.py:53-131.
+
+    Unwired ablation code in the reference (nothing imports loss_local.py);
+    ported formula-exact for inventory completeness, jit-compatible via a
+    fixed max-instances segment formulation (K = neighbor rows + 1, label
+    value == segment id) instead of torch.unique + per-sample loops.
+
+    embedding_bhwc: (B, H, W, E); seg_bhw: (B, H, W) int labels in
+    [0, N]; neighbor_bnm: (B, N, M) adjacency lists — row i-1 holds the
+    labels adjacent to instance i (0-padded, as the reference's __main__
+    fixture implies). Two as-shipped quirks are preserved deliberately:
+
+    * the inter-instance term divides by ``sum(mask) + 1e12`` (sic — the
+      reference's literal constant, clearly a typo for 1e-12, which makes
+      loss_inter ~ 1e-12 x its numerator), loss_local.py:106;
+    * loss_inner is ``+mean(cos(mu, e))`` — minimizing it pushes pixels
+      AWAY from their own centroid, loss_local.py:79 (one reason this
+      ablation stayed unwired).
+    """
+    b, h, w, e = embedding_bhwc.shape
+    n_rows = neighbor_bnm.shape[1]
+    k = n_rows + 1  # label 0 = background row + one row per instance
+    if norm:
+        embedding_bhwc = normalize_embedding(embedding_bhwc, axis=-1)
+
+    def one(emb_hwc, seg_hw, neighbor_nm):
+        emb = normalize_embedding(emb_hwc.reshape(-1, e), axis=-1)
+        lab = jnp.clip(seg_hw.reshape(-1).astype(jnp.int32), 0, k - 1)
+        wpx = jnp.ones_like(lab, dtype=emb.dtype) if include_bg \
+            else (lab > 0).astype(emb.dtype)
+
+        onehot = jax.nn.one_hot(lab, k, dtype=emb.dtype) * wpx[:, None]
+        counts = onehot.sum(axis=0)                     # (K,)
+        present = counts > 0
+        mu = normalize_embedding(
+            jnp.einsum("pk,pe->ke", onehot, emb) / jnp.maximum(counts, 1.0)[:, None],
+            axis=-1)
+
+        # inner: mean over (kept) pixels of cos(mu[label], e) — sign as shipped
+        cos_px = jnp.sum(mu[lab] * emb, axis=-1)
+        loss_inner = jnp.sum(cos_px * wpx) / jnp.maximum(jnp.sum(wpx), 1.0)
+
+        # inter: |1 - cos(mu_i, mu_j)| over present-label pairs allowed by
+        # the adjacency indicator (bg row connects to everything but bg;
+        # instance rows connect to bg + their neighbor list)
+        pair = jnp.abs(1.0 - mu @ mu.T)                 # (K, K)
+        cols = jnp.arange(k)
+        adj = (jax.nn.one_hot(neighbor_nm.astype(jnp.int32), k).sum(axis=1) > 0)
+        indicator = jnp.concatenate(
+            [(cols != 0)[None, :],                      # bg row, loss_local.py:97-100
+             adj | (cols == 0)[None, :]], axis=0).astype(emb.dtype)
+        mask = indicator * present[:, None] * present[None, :]
+        # (sic) + 1e12: the reference's literal denominator constant
+        loss_inter = jnp.sum(pair * mask) / (jnp.sum(mask) + 1e12)
+        return loss_inner + loss_inter
+
+    return jnp.mean(jax.vmap(one)(embedding_bhwc, seg_bhw, neighbor_bnm))
+
+
+def instance_neighbor_lists(seg_hw, n_rows: int, m: int, dilate: int = 1):
+    """Build the (N, M) neighbor lists local_embedding_loss consumes.
+
+    The reference never shipped a producer for loss_local.py's `neighbor`
+    input (its __main__ uses random ints); this host-side numpy helper
+    derives real adjacency from a label map: instances a, b are neighbors
+    when some pixel of a lies within `dilate` (Chebyshev) of a pixel of b.
+    Row i-1 lists up to `m` neighbors of instance i, 0-padded — matching
+    the 0-pad-means-bg convention the loss's prepended-bg-column implies.
+    """
+    import numpy as np
+    seg = np.asarray(seg_hw)
+    pairs = set()
+    for dy in range(-dilate, dilate + 1):
+        for dx in range(-dilate, dilate + 1):
+            if dy == 0 and dx == 0:
+                continue
+            a = seg[max(0, dy):seg.shape[0] + min(0, dy),
+                    max(0, dx):seg.shape[1] + min(0, dx)]
+            b = seg[max(0, -dy):seg.shape[0] + min(0, -dy),
+                    max(0, -dx):seg.shape[1] + min(0, -dx)]
+            touch = (a != b) & (a > 0) & (b > 0)
+            pairs.update(map(tuple, np.unique(
+                np.stack([a[touch], b[touch]], axis=1), axis=0)))
+    out = np.zeros((n_rows, m), dtype=np.int32)
+    fill = {i: 0 for i in range(1, n_rows + 1)}
+    for a, b in sorted(pairs):
+        if 1 <= a <= n_rows and fill[a] < m:
+            out[a - 1, fill[a]] = b
+            fill[a] += 1
+    return out
