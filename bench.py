@@ -48,6 +48,25 @@ import numpy as np
 BASELINE_NOTE = ("same-chip f32 reference-style XLA graph (proxy; the "
                  "reference's GPU is not available to measure)")
 
+# Every metric line is also collected here and embedded (compact) into the
+# FINAL headline line as its "all" field, so a truncated driver tail — which
+# keeps only the last line — can never lose the secondary metrics again
+# (BENCH_r04's record lost the train-step + AC3 full-geometry lines that way).
+_ALL_LINES = []
+
+
+def emit(obj, final=False):
+    if final:
+        obj = dict(obj)
+        obj["all"] = [{k: ln.get(k) for k in
+                       ("metric", "value", "unit", "vs_baseline", "mfu_pct",
+                        "hbm_bw_pct") if k in ln}
+                      for ln in _ALL_LINES + [obj]]
+    else:
+        _ALL_LINES.append(obj)
+    print(json.dumps(obj), flush=True)
+
+
 _DEVICE_KIND = {"v": None}
 
 
@@ -154,14 +173,14 @@ def bench_train_2d():
     tr_bytes = 2 * 3 * fwd_bytes
     print(f"# train-2d ours {dt_ours*1e3:.1f} ms/step | dense-graph "
           f"{dt_ref*1e3:.1f} ms/step", file=sys.stderr, flush=True)
-    print(json.dumps({
+    emit({
         "metric": "2D train-step throughput (CVPPP B=2 544x544, dual-view)",
         "value": round(mp / dt_ours, 2),
         "unit": "MP/s/chip",
         "vs_baseline": round(dt_ref / dt_ours, 3),
         "baseline": BASELINE_NOTE,
         **_roofline(tr_flops, tr_bytes, dt_ours),
-    }), flush=True)
+    })
 
 
 def bench_train_3d():
@@ -223,7 +242,7 @@ def bench_train_3d():
     fwd_flops, fwd_bytes, _ = unet3d_pni_flops(B, D, H, W)
     print(f"# train-3d ours {dt_ours*1e3:.1f} ms/step | roll-chain "
           f"{dt_ref*1e3:.1f} ms/step", file=sys.stderr, flush=True)
-    print(json.dumps({
+    emit({
         "metric": "3D train-step throughput (PNI UNet B=2 18x160x160, "
                   "dual-view, device GT+EMA)",
         "value": round(mvox / dt_ours, 3),
@@ -233,7 +252,7 @@ def bench_train_3d():
                     "slice/roll affinity chain instead of the fused "
                     "Pallas kernels (the reference trains f32)",
         **_roofline(6 * fwd_flops, 2 * 3 * fwd_bytes, dt_ours),
-    }), flush=True)
+    })
 
 
 def _tiled_engine_setup():
@@ -367,7 +386,7 @@ def bench_tiled_3d_full():
     }
     if peak_mb:
         line["peak_hbm_mb"] = peak_mb
-    print(json.dumps(line), flush=True)
+    emit(line)
 
 
 def bench_tiled_3d():
@@ -425,7 +444,7 @@ def bench_tiled_3d():
     print(f"# tiled-3d one-dispatch {dt_ours:.2f} s/vol | per-batch-dispatch"
           f" + host accumulate {dt_ref:.2f} s/vol", file=sys.stderr,
           flush=True)
-    print(json.dumps({
+    emit({
         "metric": "3D tiled-inference throughput (PNI UNet, 20x320x320 toy"
                   " vol, Gaussian-blend stitching, one-dispatch engine, bf16"
                   " predictor)",
@@ -436,11 +455,11 @@ def bench_tiled_3d():
                     "(per-tile-batch dispatch + host accumulation, as the "
                     "reference serves)",
         **_roofline(flops, hbm, dt_ours),
-    }), flush=True)
+    })
 
 
 def main(B=8, H=544, W=544, shape_label=None, int8_line=False,
-         full_baselines=True, latency_line=False):
+         full_baselines=True, latency_line=False, headline=False):
     import jax
     import jax.numpy as jnp
 
@@ -569,7 +588,7 @@ def main(B=8, H=544, W=544, shape_label=None, int8_line=False,
         dt_q = timeit(_FastQ(), vars_fast, fused, x_override=x_packed)
         print(f"# int8 serving {dt_q*1e3:.2f} ms", file=sys.stderr,
               flush=True)
-        print(json.dumps({
+        emit({
             "metric": "megapixels/sec/chip emb2aff inference "
                       "(ResUNet2D 544x544, int8 serving mode)",
             "value": round(mp / dt_q, 2),
@@ -579,7 +598,7 @@ def main(B=8, H=544, W=544, shape_label=None, int8_line=False,
             # mixed int8/bf16 path reported against the bf16 roof (only
             # the measured-winning stages are quantized)
             **_roofline(flops, hbm, dt_q),
-        }), flush=True)
+        })
     value = mp / dt_ours
     base_f32 = mp / dt_ref_f32
     base_same = mp / dt_ref_same
@@ -589,23 +608,23 @@ def main(B=8, H=544, W=544, shape_label=None, int8_line=False,
           file=sys.stderr, flush=True)
     shape = shape_label or f"ResUNet2D {H}x{W}"
     if latency_line:
-        print(json.dumps({
+        emit({
             "metric": f"emb2aff inference latency ({shape})",
             "value": round(dt_ours * 1e3, 2),
             "unit": "ms/image",
             "vs_baseline": round(dt_ref_f32 / dt_ours, 3),
             "baseline": BASELINE_NOTE,
             **_roofline(flops, hbm, dt_ours),
-        }), flush=True)
+        })
         return
-    print(json.dumps({
+    emit({
         "metric": f"megapixels/sec/chip emb2aff inference ({shape})",
         "value": round(value, 2),
         "unit": "MP/s/chip",
         "vs_baseline": round(value / base_f32, 3),
         "baseline": BASELINE_NOTE,
         **_roofline(flops, hbm, dt_ours),
-    }), flush=True)
+    }, final=headline)
 
 
 def _require_device(timeout_s: float = 600.0):
@@ -647,7 +666,7 @@ if __name__ == "__main__":
         {"train2d": bench_train_2d, "train3d": bench_train_3d,
          "tiled3d_full": bench_tiled_3d_full, "tiled3d": bench_tiled_3d,
          "headline": lambda: main(shape_label="ResUNet2D 544x544",
-                                  int8_line=True)}[only]()
+                                  int8_line=True, headline=True)}[only]()
         sys.exit(0)
     # secondary pipeline benches first; the headline inference line LAST
     # (the driver parses the last JSON line)
@@ -666,4 +685,4 @@ if __name__ == "__main__":
             fn()
         except Exception as e:  # a secondary bench must not kill the headline
             print(f"# bench section failed: {e}", file=sys.stderr, flush=True)
-    main(shape_label="ResUNet2D 544x544", int8_line=True)
+    main(shape_label="ResUNet2D 544x544", int8_line=True, headline=True)

@@ -15,8 +15,11 @@ Ports of the reference's alternative losses:
 
 from __future__ import annotations
 
+import warnings
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .emb2aff import normalize_embedding, _valid_mask_2d
 
@@ -201,6 +204,13 @@ def local_embedding_loss(embedding_bhwc, seg_bhw, neighbor_bnm,
     * loss_inner is ``+mean(cos(mu, e))`` — minimizing it pushes pixels
       AWAY from their own centroid, loss_local.py:79 (one reason this
       ablation stayed unwired).
+
+    NOTE (silent-merge behavior): labels are clipped to ``[0, N]`` in-jit
+    (``jnp.clip`` below) — a seg map with MORE instances than
+    ``neighbor_bnm`` has rows silently merges every overflow instance into
+    segment N and returns a wrong loss with no error signal. Size
+    ``neighbor_bnm`` so that ``N >= seg.max()`` (the
+    :func:`instance_neighbor_lists` producer raises/warns when it cannot).
     """
     b, h, w, e = embedding_bhwc.shape
     n_rows = neighbor_bnm.shape[1]
@@ -242,7 +252,8 @@ def local_embedding_loss(embedding_bhwc, seg_bhw, neighbor_bnm,
     return jnp.mean(jax.vmap(one)(embedding_bhwc, seg_bhw, neighbor_bnm))
 
 
-def instance_neighbor_lists(seg_hw, n_rows: int, m: int, dilate: int = 1):
+def instance_neighbor_lists(seg_hw, n_rows: int, m: int, dilate: int = 1,
+                            strict: bool = False):
     """Build the (N, M) neighbor lists local_embedding_loss consumes.
 
     The reference never shipped a producer for loss_local.py's `neighbor`
@@ -251,9 +262,21 @@ def instance_neighbor_lists(seg_hw, n_rows: int, m: int, dilate: int = 1):
     when some pixel of a lies within `dilate` (Chebyshev) of a pixel of b.
     Row i-1 lists up to `m` neighbors of instance i, 0-padded — matching
     the 0-pad-means-bg convention the loss's prepended-bg-column implies.
+
+    Capacity checks: labels > ``n_rows`` (which local_embedding_loss would
+    silently clip-merge) and rows whose adjacency exceeds ``m`` (which
+    would silently drop inter pairs) raise when ``strict=True`` and warn
+    otherwise.
     """
-    import numpy as np
     seg = np.asarray(seg_hw)
+    max_lab = int(seg.max()) if seg.size else 0
+    if max_lab > n_rows:
+        msg = (f"instance_neighbor_lists: seg has labels up to {max_lab} but "
+               f"n_rows={n_rows}; local_embedding_loss will clip-merge the "
+               f"overflow instances")
+        if strict:
+            raise ValueError(msg)
+        warnings.warn(msg, stacklevel=2)
     pairs = set()
     for dy in range(-dilate, dilate + 1):
         for dx in range(-dilate, dilate + 1):
@@ -268,8 +291,18 @@ def instance_neighbor_lists(seg_hw, n_rows: int, m: int, dilate: int = 1):
                 np.stack([a[touch], b[touch]], axis=1), axis=0)))
     out = np.zeros((n_rows, m), dtype=np.int32)
     fill = {i: 0 for i in range(1, n_rows + 1)}
+    dropped = 0
     for a, b in sorted(pairs):
-        if 1 <= a <= n_rows and fill[a] < m:
-            out[a - 1, fill[a]] = b
-            fill[a] += 1
+        if 1 <= a <= n_rows:
+            if fill[a] < m:
+                out[a - 1, fill[a]] = b
+                fill[a] += 1
+            else:
+                dropped += 1
+    if dropped:
+        msg = (f"instance_neighbor_lists: {dropped} adjacency pairs dropped "
+               f"(rows full at m={m}); the loss's inter term will miss them")
+        if strict:
+            raise ValueError(msg)
+        warnings.warn(msg, stacklevel=2)
     return out
