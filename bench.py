@@ -260,37 +260,35 @@ def _tiled_engine_setup():
     import jax.numpy as jnp
 
     from pixel_embedded_affinity_tpu.config import load_config
+    from pixel_embedded_affinity_tpu.infer.inference3d import (
+        build_tiled_predictor)
     from pixel_embedded_affinity_tpu.ops import embedding_to_affinity_3d
     from pixel_embedded_affinity_tpu.ops.offsets import SHIFTS_3D
     from pixel_embedded_affinity_tpu.train.loop import build_model
 
-    on_tpu = jax.devices()[0].platform == "tpu"
     cfg = load_config("ac3ac4")
     model = build_model(cfg)
-    cfg_bf = load_config("ac3ac4")
-    cfg_bf.model.dtype = "bfloat16"
-    model_bf16 = build_model(cfg_bf)
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((1, 18, 160, 160, 1), jnp.float32)
     variables = jax.jit(functools.partial(model.init, train=False))(rng, x0)
 
-    def make_predict(mdl):
-        @jax.jit
-        def predict(tiles):
-            outs = mdl.apply(variables, tiles, train=False)
-            emb = outs[-1] if isinstance(outs, (tuple, list)) else outs
-            return jax.nn.relu(embedding_to_affinity_3d(
-                emb.astype(jnp.float32), tuple(SHIFTS_3D)))
-        return predict
+    # reference-faithful baseline: dense f32 Flax graph + roll affinities
+    @jax.jit
+    def predict(tiles):
+        outs = model.apply(variables, tiles, train=False)
+        emb = outs[-1] if isinstance(outs, (tuple, list)) else outs
+        return jax.nn.relu(embedding_to_affinity_3d(
+            emb.astype(jnp.float32), tuple(SHIFTS_3D)))
 
-    predict = make_predict(model)
-    predict_bf16 = make_predict(model_bf16 if on_tpu else model)
+    # ours: the SHIPPED serving predictor (infer/inference3d.py defaults —
+    # r5: folded-BN z-concat fast graph, bf16, fused Pallas affinities)
+    predict_serving = build_tiled_predictor(cfg, variables)
 
     @jax.jit
     def _reduce(cv, wm):  # scalar completion probe (eager ops are banned
         return jnp.sum(cv) + jnp.sum(wm)  # on the tunneled backend)
 
-    return predict, predict_bf16, _reduce, SHIFTS_3D
+    return predict, predict_serving, _reduce, SHIFTS_3D
 
 
 def _tiled_stats(vol_shape, engine, n_channels):
@@ -328,22 +326,25 @@ def bench_tiled_3d_full():
     (10,80,80) -> the reference's grid num_zyx=[10,13,13] = 1690 tiles
     (scripts_ac3ac4/data/provider_valid.py:157-198, inference.py:123-168).
 
-    Ours: the one-dispatch device-resident engine, bf16 predictor, f32
-    canvases in HBM (~7 GB for the 12-channel padded canvas). Baseline:
-    the SAME engine with the f32 predictor (the reference serves f32) —
-    the per-tile-dispatch reference pattern is benchmarked on the toy
-    volume below (at 1690 tiles x seconds of tunnel latency per dispatch
-    it would take hours and measure only the link)."""
+    Ours: the one-dispatch device-resident engine with the SHIPPED serving
+    predictor (r5: folded-BN z-concat fast graph in bf16 + fused Pallas
+    affinity kernel — infer/inference3d.py defaults), f32 canvases in HBM.
+    Baseline: the SAME engine with the dense f32 Flax graph + roll
+    affinities (the reference serves f32) — the per-tile-dispatch
+    reference pattern is benchmarked on the toy volume below (at 1690
+    tiles x seconds of tunnel latency per dispatch it would take hours
+    and measure only the link)."""
     import jax
     import jax.numpy as jnp
 
     from pixel_embedded_affinity_tpu.parallel import TiledInference3D
 
-    predict, predict_bf16, _reduce, SHIFTS_3D = _tiled_engine_setup()
+    predict, predict_serving, _reduce, SHIFTS_3D = _tiled_engine_setup()
     vol = np.random.default_rng(1).random((100, 1024, 1024)).astype(np.float32)
-    # batch_size 8 = the serving default (infer/inference3d.py)
+    # batch_size 4 = the serving default (infer/inference3d.py; full-
+    # geometry tile-batch sweep b16/b8/b4/b2: 4 wins, docs/PERF.md r5)
     engine = TiledInference3D(crop_size=(18, 160, 160), stride=(10, 80, 80),
-                              padding=(4, 48, 48), batch_size=8,
+                              padding=(4, 48, 48), batch_size=4,
                               device_accumulate=False)
     n_tiles, flops, hbm = _tiled_stats(vol.shape, engine, len(SHIFTS_3D))
     print(f"# tiled-3d full geometry: {n_tiles} tiles", file=sys.stderr,
@@ -366,22 +367,24 @@ def bench_tiled_3d_full():
             times.append(time.perf_counter() - t0)
         return min(times)
 
-    dt_ours = timed(predict_bf16, "bf16", reps=2)
+    dt_ours = timed(predict_serving, "serving", reps=2)
     peak_mb = _hbm_peak_mb()
     dt_f32 = timed(predict, "f32")
     mvox = vol.size / 1e6
-    print(f"# tiled-3d full {dt_ours:.1f} s/vol bf16 | {dt_f32:.1f} s/vol "
+    print(f"# tiled-3d full {dt_ours:.1f} s/vol serving | {dt_f32:.1f} s/vol "
           f"f32 | peak HBM {peak_mb} MB", file=sys.stderr, flush=True)
     line = {
         "metric": "3D tiled-inference throughput (PNI UNet, AC3 serving "
                   "geometry 100x1024x1024, 1690 tiles, Gaussian-blend "
-                  "stitching, one-dispatch engine, bf16 predictor)",
+                  "stitching, one-dispatch engine, serving predictor: "
+                  "folded-BN fast graph bf16 + fused affinity kernel)",
         "value": round(mvox / dt_ours, 2),
         "unit": "MVox/s/chip",
         "vs_baseline": round(dt_f32 / dt_ours, 3),
-        "baseline": "f32 predictor through the same one-dispatch engine "
-                    "(the reference serves f32; its per-tile-dispatch "
-                    "pattern is measured on the toy-volume line)",
+        "baseline": "dense f32 Flax graph + roll affinities through the "
+                    "same one-dispatch engine (the reference serves f32; "
+                    "its per-tile-dispatch pattern is measured on the "
+                    "toy-volume line)",
         **_roofline(flops, hbm, dt_ours),
     }
     if peak_mb:
@@ -394,19 +397,18 @@ def bench_tiled_3d():
 
     Ours: the ONE-DISPATCH device-resident engine (whole Gaussian-blend
     tile sweep as a single jitted lax.scan; canvases stay in HBM) with the
-    bf16 predictor (model.bf16_tiled_infer serving mode; embedding cast
-    back to f32 before the affinity dot — 1.28x in-scan, docs/PERF.md r3).
-    Baseline: the reference-faithful pattern — per-tile-batch dispatch with
-    host-side accumulation (provider_valid.py:212-335 round-trips every
-    tile) running the dense f32 predictor, as the reference serves. Kept
-    on a 20x320x320 toy volume because the per-dispatch pattern costs
-    seconds of tunnel latency per tile batch."""
+    shipped serving predictor (r5 defaults: fast graph bf16 + fused
+    affinities). Baseline: the reference-faithful pattern — per-tile-batch
+    dispatch with host-side accumulation (provider_valid.py:212-335
+    round-trips every tile) running the dense f32 predictor, as the
+    reference serves. Kept on a 20x320x320 toy volume because the
+    per-dispatch pattern costs seconds of tunnel latency per tile batch."""
     import jax
     import jax.numpy as jnp
 
     from pixel_embedded_affinity_tpu.parallel import TiledInference3D
 
-    predict, predict_bf16, _reduce, SHIFTS_3D = _tiled_engine_setup()
+    predict, predict_serving, _reduce, SHIFTS_3D = _tiled_engine_setup()
     vol = np.random.default_rng(1).random((20, 320, 320)).astype(np.float32)
     engine = TiledInference3D(crop_size=(18, 160, 160), stride=(10, 80, 80),
                               padding=(4, 48, 48), batch_size=4,
@@ -419,7 +421,7 @@ def bench_tiled_3d():
             # ~250 MB canvas download would measure the tunnel, not the
             # engine — deployment consumes canvases on device)
             cv, wm = engine.run_device_resident(
-                vol, predict_bf16, n_channels=len(SHIFTS_3D), fetch=False)
+                vol, predict_serving, n_channels=len(SHIFTS_3D), fetch=False)
             float(_reduce(cv, wm))
         once()  # compile + warm
         print("# compiled tiled-3d", file=sys.stderr, flush=True)
@@ -446,8 +448,8 @@ def bench_tiled_3d():
           flush=True)
     emit({
         "metric": "3D tiled-inference throughput (PNI UNet, 20x320x320 toy"
-                  " vol, Gaussian-blend stitching, one-dispatch engine, bf16"
-                  " predictor)",
+                  " vol, Gaussian-blend stitching, one-dispatch engine,"
+                  " serving predictor)",
         "value": round(mvox / dt_ours, 2),
         "unit": "MVox/s/chip",
         "vs_baseline": round(dt_ref / dt_ours, 3),

@@ -22,6 +22,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main():
     import jax
@@ -119,6 +121,10 @@ def main():
         if name.startswith("fast-b"):
             bs = int(name[6:])
             pfn = make_fast(roll_affs)
+            dt = timed(pfn, batch_size=bs)
+        elif name.startswith("fused-b"):
+            bs = int(name[7:])
+            pfn = make_fast(fused_affs)
             dt = timed(pfn, batch_size=bs)
         else:
             dt = timed(preds[name]())

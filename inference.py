@@ -92,18 +92,23 @@ def main():
                                 dataset_name="ac3" if args.mode == "test"
                                 else cfg.data.dataset_name,
                                 mode=args.mode)
+        timing = {}
         _, results = run_inference_3d(cfg, variables, vol.raw, gt=vol.label,
-                                      decoders=tuple(args.decoders.split(",")))
+                                      decoders=tuple(args.decoders.split(",")),
+                                      timing=timing)
         for dec, (seg, m) in results.items():
             print(dec, json.dumps(m))
+        print("COST TIME:", json.dumps(timing))
     elif args.mode == "test" and cfg.name == "cvppp":
         from pixel_embedded_affinity_tpu.data.cvppp import CVPPPTest
         from pixel_embedded_affinity_tpu.infer.inference2d import run_cvppp_test
 
         ds = CVPPPTest(cfg.data.data_folder, padding=cfg.data.padding)
         out = args.out or "submission.h5"
+        timing = {}
         segs, names = run_cvppp_test(cfg, variables, ds, out,
-                                     one_dispatch=one_dispatch)
+                                     one_dispatch=one_dispatch, timing=timing)
+        print("COST TIME:", json.dumps(timing))
         print(json.dumps({"submission": out, "images": len(names)}))
     else:
         from pixel_embedded_affinity_tpu.infer import run_inference_2d
@@ -116,10 +121,13 @@ def main():
                                    neighbor=cfg.data.neighbor, mode="test")
         else:
             _, valid = build_dataset(cfg)
+        timing = {}
         per_image, agg = run_inference_2d(cfg, variables, valid,
                                           out_dir=args.out,
                                           save_h5=args.out is not None,
-                                          one_dispatch=one_dispatch)
+                                          one_dispatch=one_dispatch,
+                                          timing=timing)
+        print("COST TIME:", json.dumps(timing))
         print(json.dumps(agg))
 
 

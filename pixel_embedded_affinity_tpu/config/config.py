@@ -42,9 +42,20 @@ class ModelConfig:
     # bf16 compute for the tiled 3D inference predictor only (the
     # embedding is cast back to f32 before the affinity dot). Unlike the
     # structural rewrites, a dtype-only change survives the one-dispatch
-    # scan engine: 1.28x measured in-scan (docs/PERF.md r3). Default OFF
-    # for reference parity (the reference serves f32).
-    bf16_tiled_infer: bool = False
+    # scan engine: 1.28x measured in-scan (docs/PERF.md r3). Default ON
+    # since r5: canvas-closeness + decoder-metric parity evidence on a
+    # trained checkpoint (docs/PERF.md round-5 section) replaced the
+    # f32-parity reflex. `-o model.bf16_tiled_infer=False` restores the
+    # reference's f32 serving dtype.
+    bf16_tiled_infer: bool = True
+    # serving-optimized tiled-3D predictor (models/fast_forward3d.py:
+    # folded BN + z-concat 2D-conv lowering of the PNI graph, exact math)
+    # + the fused Pallas 3D affinity kernel on TPU. Measured INSIDE the
+    # cached one-dispatch engine at the full AC3 serving geometry
+    # (docs/profile_3d_serving.py, PERF.md round-5): the r3 toy-geometry
+    # rejection of structural rewrites inverted once the engine stopped
+    # re-tracing per call. PNI arch only; f32-roll fallback otherwise.
+    fast_tiled_infer: bool = True
 
 
 @dataclass

@@ -26,8 +26,15 @@ from ..metrics import (
 
 def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None,
                      use_pallas: bool | None = None, save_h5: bool = False,
-                     one_dispatch: bool | None = None):
+                     one_dispatch: bool | None = None,
+                     timing: dict | None = None):
     """Returns per-image metric dict list + aggregate means.
+
+    ``timing``: optional dict filled with the end-to-end COST TIME split
+    (total / forward / decode / metrics seconds, n_images) mirroring the
+    reference's whole-run COST TIME report
+    (scripts_cvppp/inference.py:255-265) — but with the host-decode share
+    separated, which the reference never measures.
 
     ``one_dispatch=True`` runs the WHOLE image set through the forward as a
     single jitted ``lax.scan`` and fetches the stacked affinities once,
@@ -201,6 +208,10 @@ def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None
         mask_all = np.asarray(outs[1]) if need_mask else None
         return affs_all, mask_all
 
+    import time as _time
+
+    t_start = _time.perf_counter()
+    t_fwd = t_dec = t_met = 0.0
     if one_dispatch is None:
         one_dispatch = jax.devices()[0].platform == "tpu"
     pre_affs = pre_mask = None
@@ -208,7 +219,9 @@ def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None
     if one_dispatch and len(dataset) > 1:
         samples = [dataset[i] for i in range(len(dataset))]
         if len({s["image"].shape for s in samples}) == 1:
+            t0 = _time.perf_counter()
             pre_affs, pre_mask = _forward_all(samples)
+            t_fwd += _time.perf_counter() - t0
         else:  # ragged image shapes: per-image dispatch
             samples = None
 
@@ -221,11 +234,14 @@ def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None
             out_affs = pre_affs[i]
             pred_mask_np = pre_mask[i] if pre_mask is not None else None
         else:
+            t0 = _time.perf_counter()
             affs, embedding, pred_mask = forward(s["image"][None])
             out_affs = np.asarray(affs)[0]
             pred_mask_np = (np.asarray(pred_mask[0])
                             if cfg.train.mask_weight else None)
+            t_fwd += _time.perf_counter() - t0
         gt = s["seg"].astype(np.uint16)
+        t0 = _time.perf_counter()
         if cfg.train.mask_weight:
             # argmax(softmax(x)) == argmax(x): threshold the logits directly
             fg = (np.argmax(pred_mask_np, axis=-1) > 0).astype(np.uint8)
@@ -239,7 +255,9 @@ def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None
         seg = relabel(seg).astype(np.uint16)
         segs.append(seg)
         all_affs.append(out_affs)
+        t_dec += _time.perf_counter() - t0
 
+        t0 = _time.perf_counter()
         m = {"SBD": symmetric_best_dice(seg, gt),
              "DiC": abs_diff_fg_labels(seg, gt)}
         vs, vm = voi(gt, seg)
@@ -252,10 +270,15 @@ def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None
             m["F1"] = pixel_f1(gtr, pr)
             (dq, sq, pq), _ = get_fast_pq(gtr, pr)
             m.update({"DQ": dq, "SQ": sq, "PQ": pq})
+        t_met += _time.perf_counter() - t0
         results.append(m)
 
     agg = {k: float(np.mean([r[k] for r in results]))
            for k in results[0]} if results else {}
+    if timing is not None:
+        timing.update(total_s=round(_time.perf_counter() - t_start, 3),
+                      forward_s=round(t_fwd, 3), decode_s=round(t_dec, 3),
+                      metrics_s=round(t_met, 3), n_images=len(dataset))
     if out_dir and save_h5:
         import h5py
 
@@ -270,11 +293,15 @@ def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None
 
 def run_cvppp_test(cfg: Config, variables, dataset, out_path: str,
                    use_pallas: bool | None = None,
-                   one_dispatch: bool | None = None):
+                   one_dispatch: bool | None = None,
+                   timing: dict | None = None):
     """CVPPP test protocol: FG mask given, no labels; decode + write the
     CodaLab submission.h5 (inference.py:277-293). ``one_dispatch`` scans
     the whole test set through the forward in one jit (see
-    run_inference_2d; default: on for TPU)."""
+    run_inference_2d; default: on for TPU). ``timing``: COST TIME split
+    (see run_inference_2d)."""
+    import time as _time
+
     import jax
 
     from ..train.loop import build_model
@@ -302,6 +329,8 @@ def run_cvppp_test(cfg: Config, variables, dataset, out_path: str,
         one_dispatch = jax.devices()[0].platform == "tpu"
     # materialize the set only for the one-dispatch scan; the serial path
     # streams one image at a time (the reference pattern)
+    t_start = _time.perf_counter()
+    t_fwd = t_dec = 0.0
     samples = None
     pre_affs = None
     if one_dispatch and len(dataset) > 1:
@@ -318,21 +347,33 @@ def run_cvppp_test(cfg: Config, variables, dataset, out_path: str,
                 _, affs = jax.lax.scan(body, 0, xs)
                 return affs
 
+            t0 = _time.perf_counter()
             pre_affs = np.asarray(run_all(stack))
+            t_fwd += _time.perf_counter() - t0
 
     segs, names = [], []
     for i in range(len(dataset)):
         s = samples[i] if samples is not None else dataset[i]
-        affs = (pre_affs[i] if pre_affs is not None
-                else np.asarray(forward(s["image"][None]))[0])
+        if pre_affs is not None:
+            affs = pre_affs[i]
+        else:
+            t0 = _time.perf_counter()
+            affs = np.asarray(forward(s["image"][None]))[0]
+            t_fwd += _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         seg = seg_mutex(affs, offsets=offsets, strides=list(cfg.data.strides),
                         mask=s["fg"]).astype(np.uint16)
         seg = merge_func(seg)
         seg = relabel(seg).astype(np.uint16)
+        t_dec += _time.perf_counter() - t0
         segs.append(seg)
         names.append(s["name"])
     write_cvppp_submission(segs, names, out_path,
                            pad=(7, 22) if cfg.data.padding else (0, 0))
+    if timing is not None:
+        timing.update(total_s=round(_time.perf_counter() - t_start, 3),
+                      forward_s=round(t_fwd, 3), decode_s=round(t_dec, 3),
+                      n_images=len(dataset))
     return segs, names
 
 

@@ -21,59 +21,112 @@ from ..postproc.agglomerate import agglomerate
 from ..metrics import voi, adapted_rand_error
 
 
-def run_inference_3d(cfg: Config, variables, volume: np.ndarray,
-                     gt: np.ndarray | None = None,
-                     decoders=("mutex", "waterz", "lmc"),
-                     crop_size=(18, 160, 160), stride=(10, 80, 80),
-                     padding=(4, 48, 48), batch_size: int = 8,
-                     use_pallas: bool | None = None):
-    """Returns (affs canvas (12,Z,H,W), {decoder: (seg, metrics)})."""
+def build_tiled_predictor(cfg: Config, variables,
+                          use_pallas: bool | None = None):
+    """The shipped tiled-serving predictor: (B, d, h, w, 1) f32 tiles ->
+    (B, 12, d, h, w) relu'd affinities.
+
+    Predictor choice, re-measured in round 5 INSIDE the fixed (cached,
+    device-resident) engine at the FULL AC3 serving geometry
+    (100x1024^2, 1690 tiles; docs/profile_3d_serving.py, PERF.md r5).
+    The round-3 toy-geometry rejection of structural rewrites was an
+    artifact of the engine re-tracing per call: with that fixed, the
+    folded-BN z-concat 2D-conv serving graph (models/fast_forward3d.py)
+    + the fused Pallas affinity kernel wins over the dense Flax graph
+    with roll-based affinities. Fallbacks: non-PNI archs and
+    fast_tiled_infer=False run the dense graph; CPU keeps roll affinities
+    (no Pallas)."""
     import jax
+    import jax.numpy as jnp
 
     from ..train.loop import build_model
     from ..ops import embedding_to_affinity_3d
 
-    if cfg.model.bf16_tiled_infer and cfg.model.dtype == "float32":
-        # dtype-only serving speedup (1.28x in-scan, docs/PERF.md r3): the
-        # predictor runs bf16; the embedding is cast back to f32 before
-        # the affinity dot so the canvas/decoders see f32 affinities
-        import copy
+    on_tpu = jax.devices()[0].platform == "tpu"
+    serve_dtype = (jnp.bfloat16 if (cfg.model.bf16_tiled_infer
+                                    and cfg.model.dtype == "float32")
+                   else jnp.float32)
+    fast = (cfg.model.fast_tiled_infer
+            and cfg.model.arch == "unet_pni_deep")
+    use_fused = use_pallas if use_pallas is not None else on_tpu
 
-        cfg = copy.deepcopy(cfg)
-        cfg.model.dtype = "bfloat16"
-    model = build_model(cfg)
-    del use_pallas  # accepted for API symmetry with run_inference_2d but
-    # unused: the tiled path always runs the roll-based affinity graph on
-    # every platform — see the measured A/B below
-    # Predictor choice (docs/PERF.md round-3 A/B, measured INSIDE the
-    # one-dispatch scan engine at (20,320,320)): dense+roll 3.9 s/vol,
-    # s2d-twin+roll 7.6, dense+fused 15.4, twin+fused 21.0 — both the
-    # xy-s2d twin and the fused Pallas affinity kernel (isolated wins in
-    # r2) INVERT inside lax.scan. The tiled path therefore uses the direct
-    # graph with roll-based affinities; the fused kernel remains on the
-    # (non-scan) training step where it wins.
+    def affinities(embedding, fused):
+        if fused:
+            from ..ops.emb2aff_pallas import fused_affinity_3d
 
-    @jax.jit
-    def predict(tiles):  # (B, d, h, w, 1) -> (B, 12, d, h, w)
-        import jax.numpy as jnp
+            return jax.nn.relu(fused_affinity_3d(embedding,
+                                                 tuple(SHIFTS_3D)))
+        return jax.nn.relu(embedding_to_affinity_3d(
+            embedding.astype(jnp.float32), tuple(SHIFTS_3D)))
 
-        outs = model.apply(variables, tiles, train=False)
-        embedding = outs[-1] if isinstance(outs, (tuple, list)) else outs
-        affs = embedding_to_affinity_3d(embedding.astype(jnp.float32),
-                                        tuple(SHIFTS_3D))
-        return jax.nn.relu(affs)
+    if fast:
+        from ..models.fast_forward3d import build_fast_pni_forward
+
+        fwd = build_fast_pni_forward(variables, dtype=serve_dtype,
+                                     filters=tuple(cfg.model.filters),
+                                     emd=cfg.model.emd)
+
+        @jax.jit
+        def predict(tiles):  # (B, d, h, w, 1) -> (B, 12, d, h, w)
+            return affinities(fwd(tiles), use_fused)
+    else:
+        if serve_dtype == jnp.bfloat16:
+            # dtype-only serving speedup for the dense graph (1.28x
+            # in-scan, docs/PERF.md r3); the embedding is cast back to
+            # f32 before the affinity dot so canvases stay f32
+            import copy
+
+            cfg = copy.deepcopy(cfg)
+            cfg.model.dtype = "bfloat16"
+        model = build_model(cfg)
+
+        @jax.jit
+        def predict(tiles):
+            # dense fallback keeps roll affinities: the fused-kernel
+            # in-scan A/B was only (re-)measured for the fast graph
+            outs = model.apply(variables, tiles, train=False)
+            embedding = outs[-1] if isinstance(outs, (tuple, list)) else outs
+            return affinities(embedding.astype(jnp.float32), False)
+
+    return predict
+
+
+def run_inference_3d(cfg: Config, variables, volume: np.ndarray,
+                     gt: np.ndarray | None = None,
+                     decoders=("mutex", "waterz", "lmc"),
+                     crop_size=(18, 160, 160), stride=(10, 80, 80),
+                     padding=(4, 48, 48), batch_size: int = 4,
+                     use_pallas: bool | None = None,
+                     timing: dict | None = None):
+    """Returns (affs canvas (12,Z,H,W), {decoder: (seg, metrics)}).
+
+    ``timing``: optional dict filled with the end-to-end COST TIME split —
+    total / tiled forward+stitch (incl. canvas fetch) / per-decoder host
+    decode seconds — mirroring the reference's whole-run COST TIME report
+    (scripts_ac3ac4/inference.py 'COST TIME' prints) with the host-decode
+    share separated out, which the reference never measures.
+    """
+    import time as _time
+
+    import jax
+
+    predict = build_tiled_predictor(cfg, variables, use_pallas=use_pallas)
 
     engine = TiledInference3D(crop_size=crop_size, stride=stride,
                               padding=padding, batch_size=batch_size)
+    t_start = _time.perf_counter()
     if jax.devices()[0].platform == "tpu":
         # upload the volume once; tiles/accumulation stay in HBM
         affs = engine.run_device_resident(volume, predict,
                                           n_channels=len(SHIFTS_3D))
     else:
         affs = engine.run(volume, predict, n_channels=len(SHIFTS_3D))
+    t_fwd = _time.perf_counter() - t_start
 
     out = {}
+    dec_times = {}
     for dec in decoders:
+        t0 = _time.perf_counter()
         if dec == "mutex":
             seg = seg_mutex(affs, offsets=offsets_3d(),
                             strides=[1, 10, 10]).astype(np.uint64)
@@ -85,10 +138,15 @@ def run_inference_3d(cfg: Config, variables, volume: np.ndarray,
         else:
             raise ValueError(dec)
         seg = relabel(seg.astype(np.int64))
+        dec_times[dec] = round(_time.perf_counter() - t0, 3)
         metrics = {}
         if gt is not None:
             vs, vm = voi(gt, seg)
             metrics = {"voi_split": vs, "voi_merge": vm, "voi": vs + vm,
                        "arand": adapted_rand_error(gt, seg)[0]}
         out[dec] = (seg, metrics)
+    if timing is not None:
+        timing.update(total_s=round(_time.perf_counter() - t_start, 3),
+                      forward_s=round(t_fwd, 3),
+                      decode_s=dict(dec_times))
     return affs, out

@@ -149,6 +149,7 @@ def test_bf16_tiled_infer_close_to_f32():
     kw = dict(gt=None, decoders=(), crop_size=(18, 64, 64),
               stride=(10, 32, 32), padding=(2, 8, 8), batch_size=4,
               use_pallas=False)
+    cfg.model.bf16_tiled_infer = False  # default is ON since r5
     affs_f32, _ = run_inference_3d(cfg, variables, vol, **kw)
     cfg.model.bf16_tiled_infer = True
     affs_bf16, _ = run_inference_3d(cfg, variables, vol, **kw)
@@ -158,3 +159,34 @@ def test_bf16_tiled_infer_close_to_f32():
     err = np.abs(affs_bf16 - affs_f32)
     assert float(err.max()) < 0.05
     assert float(err.mean()) < 0.005
+
+
+def test_fast_tiled_infer_matches_dense_f32():
+    """model.fast_tiled_infer: the folded-BN z-concat serving graph
+    (models/fast_forward3d.py) stitched through the tiled engine must
+    reproduce the dense Flax graph's canvas to f32 tolerance — the
+    predictor swap is exact math, not an approximation."""
+    import jax
+
+    from pixel_embedded_affinity_tpu.data.ac3ac4 import synthesize_volume
+    from pixel_embedded_affinity_tpu.infer import run_inference_3d
+    from pixel_embedded_affinity_tpu.train.loop import build_model
+
+    raw, _ = synthesize_volume(d=22, h=80, w=80, n_cells=14, seed=7)
+    vol = raw.astype(np.float32) / 255.0
+    cfg = load_config("ac3ac4")
+    cfg.model.filters = (4, 6, 8, 12, 16)
+    cfg.model.bf16_tiled_infer = False
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(9),
+                           np.zeros((1, 18, 64, 64, 1), np.float32),
+                           train=False)
+    kw = dict(gt=None, decoders=(), crop_size=(18, 64, 64),
+              stride=(10, 32, 32), padding=(2, 8, 8), batch_size=4,
+              use_pallas=False)
+    cfg.model.fast_tiled_infer = True
+    affs_fast, _ = run_inference_3d(cfg, variables, vol, **kw)
+    cfg.model.fast_tiled_infer = False
+    affs_dense, _ = run_inference_3d(cfg, variables, vol, **kw)
+    # f32 reassociation between the 3D conv and the z-concat 2D lowering
+    np.testing.assert_allclose(affs_fast, affs_dense, atol=1e-4)
