@@ -541,15 +541,25 @@ def main(B=8, H=544, W=544, shape_label=None, int8_line=False,
 
     from pixel_embedded_affinity_tpu.models.fast_forward import (
         build_fast_resunet_forward, pack_image_s2d)
+    from pixel_embedded_affinity_tpu.ops import affinity_2d_small_batch
 
     # "ours" is the real deployment ingest (infer/inference2d.py): the
     # image is packed to s2d form on the host (free) and uploaded in the
     # compute dtype, so the 42x-lane-padded NHWC f32 tensor never exists
     # on device. The reference-style baselines keep NHWC f32 input, as
-    # the reference runs.
+    # the reference runs. Small batches (B<=2, the serving CLIs' actual
+    # regime) use the B=1-specialized graph inference2d ships: fullres
+    # embedding head + pure-XLA small-batch affinity — at B=1 a Mosaic
+    # custom call consuming the network output demotes the high-res convs
+    # (8.65 -> 5.19 ms measured, docs/profile_b1_final.py).
+    small_b = on_tpu and B <= 2
     fast_fwd = build_fast_resunet_forward(vars_fast, dtype=fast_dtype,
-                                          input_format="s2d")
+                                          input_format="s2d",
+                                          head_at_fullres=small_b)
     x_packed = jnp.asarray(pack_image_s2d(np.asarray(x))).astype(fast_dtype)
+    if small_b:
+        def fused(emb):  # noqa: F811 — serving-graph override
+            return jax.nn.relu(affinity_2d_small_batch(emb, offsets))
 
     class _FastModel:
         def apply(self, variables, image, train=False):

@@ -63,13 +63,20 @@ def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
 
-    from ..ops.emb2aff_pallas import fused_affinity_2d
-    from ..ops import embedding_to_affinity_2d
+    from ..ops import embedding_to_affinity_2d, affinity_2d_small_batch
 
     offsets_t = tuple(map(tuple, offsets))
 
     # s2d fast forward (exact math, ~1.2-1.3x on chip) when the shapes and
-    # arch allow it; falls back to the Flax module otherwise
+    # arch allow it; falls back to the Flax module otherwise. Every serving
+    # forward below runs at B=1 (serial path: image[None]; one-dispatch
+    # path: x1[None] inside the scan), so the graph is built for the
+    # small-batch regime: the 1x1 embedding head applied at full
+    # resolution (head_at_fullres) and the pure-XLA NCHW affinity
+    # formulation instead of the Pallas kernel — at B=1 the mere presence
+    # of a Mosaic custom call consuming the network output demotes the
+    # high-res convs to a slow emitter (+3.7 ms of the 8.6 ms total;
+    # docs/profile_b1_final.py: 8.65 -> 5.19 ms/img, exact parity).
     fast_fn = None
     if use_pallas and cfg.model.arch == "resunet2d_deep":
         try:
@@ -91,11 +98,13 @@ def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None
         fdt = (jnp.bfloat16 if cfg.model.dtype == "bfloat16"
                else jnp.float32)
         fast_packed_fn = build_fast_resunet_forward(variables, dtype=fdt,
-                                                    input_format="s2d")
+                                                    input_format="s2d",
+                                                    head_at_fullres=True)
 
     def _aff(embedding):
         if use_pallas:
-            affs = fused_affinity_2d(embedding, offsets_t, 32, False)
+            # B=1 serving: pure-XLA small-batch affinity (no custom call)
+            affs = affinity_2d_small_batch(embedding, offsets_t)
         else:
             affs = embedding_to_affinity_2d(embedding, offsets_t)
         return jax.nn.relu(affs)
@@ -125,7 +134,8 @@ def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None
                 quantile=getattr(cfg.model, "int8_calib_pct", None))
             qfwd = build_fast_resunet_forward(
                 variables, dtype=fdt, input_format="s2d",
-                int8_sites=INT8_DEFAULT_SITES, act_ranges=ranges)
+                int8_sites=INT8_DEFAULT_SITES, act_ranges=ranges,
+                head_at_fullres=True)
 
             @jax.jit
             def f(p):
@@ -180,7 +190,8 @@ def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None
                     quantile=getattr(cfg.model, "int8_calib_pct", None))
                 body_fwd = build_fast_resunet_forward(
                     variables, dtype=fdt, input_format="s2d",
-                    int8_sites=INT8_DEFAULT_SITES, act_ranges=ranges)
+                    int8_sites=INT8_DEFAULT_SITES, act_ranges=ranges,
+                    head_at_fullres=True)
             else:
                 body_fwd = fast_packed_fn
 
@@ -305,25 +316,58 @@ def run_cvppp_test(cfg: Config, variables, dataset, out_path: str,
     import jax
 
     from ..train.loop import build_model
-    from ..ops.emb2aff_pallas import fused_affinity_2d
-    from ..ops import embedding_to_affinity_2d
+    from ..ops import embedding_to_affinity_2d, affinity_2d_small_batch
 
-    model = build_model(cfg)
+    import copy
+
+    cfg_inf = copy.deepcopy(cfg)
+    cfg_inf.model.s2d_train = False
+    model = build_model(cfg_inf)
     offsets = multi_offset(list(cfg.data.shifts), neighbor=cfg.data.neighbor)
     offsets_t = tuple(map(tuple, offsets))
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
 
+    # B=1 serving graph (see run_inference_2d): fullres-head fast forward
+    # + pure-XLA small-batch affinity when the arch/shape allow it
+    fast_packed_fn = None
+    if use_pallas and cfg.model.arch == "resunet2d_deep":
+        try:
+            from ..models.fast_forward import build_fast_resunet_forward
+            import jax.numpy as jnp
+
+            fdt = (jnp.bfloat16 if cfg.model.dtype == "bfloat16"
+                   else jnp.float32)
+            fast_packed_fn = build_fast_resunet_forward(
+                variables, dtype=fdt, input_format="s2d",
+                head_at_fullres=True)
+        except Exception:
+            fast_packed_fn = None
+
     def _aff_of(embedding):
         if use_pallas:
-            return jax.nn.relu(fused_affinity_2d(embedding, offsets_t, 32,
-                                                 False))
+            return jax.nn.relu(affinity_2d_small_batch(embedding, offsets_t))
         return jax.nn.relu(embedding_to_affinity_2d(embedding, offsets_t))
 
     @jax.jit
     def forward(image):
         _, _, _, _, embedding, _ = model.apply(variables, image, train=False)
         return _aff_of(embedding)
+
+    @jax.jit
+    def forward_fast(packed):
+        import jax.numpy as jnp
+
+        embedding, _ = fast_packed_fn(packed)
+        return _aff_of(embedding.astype(jnp.float32))
+
+    def forward_any(image_np):
+        if fast_packed_fn is not None and image_np.shape[1] % 16 == 0 \
+                and image_np.shape[2] % 16 == 0:
+            from ..models.fast_forward import pack_image_s2d
+
+            return forward_fast(pack_image_s2d(image_np))
+        return forward(image_np)
 
     if one_dispatch is None:
         one_dispatch = jax.devices()[0].platform == "tpu"
@@ -338,12 +382,25 @@ def run_cvppp_test(cfg: Config, variables, dataset, out_path: str,
         if len({s["image"].shape for s in samples}) == 1:
             import jax.numpy as jnp
 
-            stack = jnp.asarray(np.stack([s["image"] for s in samples]))
+            imgs = np.stack([s["image"] for s in samples])
+            use_fast = (fast_packed_fn is not None
+                        and imgs.shape[1] % 16 == 0
+                        and imgs.shape[2] % 16 == 0)
+            if use_fast:
+                from ..models.fast_forward import pack_image_s2d
+
+                stack = jnp.asarray(pack_image_s2d(imgs)).astype(fdt)
+                body_fwd = (lambda x1:
+                            _aff_of(fast_packed_fn(x1)[0]
+                                    .astype(jnp.float32)))
+            else:
+                stack = jnp.asarray(imgs)
+                body_fwd = lambda x1: forward(x1)
 
             @jax.jit
             def run_all(xs):
                 def body(c, x1):
-                    return c, forward(x1[None])[0]
+                    return c, body_fwd(x1[None])[0]
                 _, affs = jax.lax.scan(body, 0, xs)
                 return affs
 
@@ -358,7 +415,7 @@ def run_cvppp_test(cfg: Config, variables, dataset, out_path: str,
             affs = pre_affs[i]
         else:
             t0 = _time.perf_counter()
-            affs = np.asarray(forward(s["image"][None]))[0]
+            affs = np.asarray(forward_any(s["image"][None]))[0]
             t_fwd += _time.perf_counter() - t0
         t0 = _time.perf_counter()
         seg = seg_mutex(affs, offsets=offsets, strides=list(cfg.data.strides),

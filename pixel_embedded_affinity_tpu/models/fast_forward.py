@@ -432,7 +432,9 @@ def build_fast_resunet_forward(variables, *, dtype=jnp.bfloat16,
                                input_format: str = "nhwc",
                                int8_sites=None, act_ranges=None,
                                collect_ranges: bool = False,
-                               collect_quantile: float | None = None):
+                               collect_quantile: float | None = None,
+                               stage_forms: dict | None = None,
+                               head_at_fullres: bool = False):
     """Returns fn(image) -> (embedding, mask_logits) matching
     ResidualUNet2DDeep.apply(variables, image, train=False)[4:6].
 
@@ -443,7 +445,13 @@ def build_fast_resunet_forward(variables, *, dtype=jnp.bfloat16,
     (ops/quant.py; sites like "up4.c1"; act_ranges maps site -> calibrated
     max|activation|, from calibrate_int8_ranges). collect_ranges=True
     instead makes the returned fn yield (emb, mask, ranges) where ranges
-    maps every candidate site to max|x| of the call (calibration mode)."""
+    maps every candidate site to max|x| of the call (calibration mode).
+
+    stage_forms: optional {stage: form} overriding the measured default
+    per-stage kernel-form table (form in {False, "dense", "2x2",
+    "pallas"}; stages "inconv", "down1"..."down4", "up1"..."up4"). The
+    defaults were tuned at B=8 (docs/PERF.md); B=1 serving uses a
+    separately measured table (docs/profile_b1_forms.py)."""
     import flax.linen as nn
 
     params = variables["params"]
@@ -481,15 +489,32 @@ def build_fast_resunet_forward(variables, *, dtype=jnp.bfloat16,
     # per-stage kernel form, measured on v5e (docs/PERF.md): 2x2 parity
     # kernels win at <=136^2; at 272^2 the extra slice/concat passes cost
     # more than the 2.25x FLOP reduction saves, so those stay dense.
-    b_in = blk("inconv", s2d="dense")
-    b_d1 = blk("down1", s2d="dense")
-    b_d2 = blk("down2", s2d="2x2")
-    b_d3 = blk("down3", s2d=False)
-    b_d4 = blk("down4", s2d=False)
-    b_u1 = blk("up1", s2d=False)
-    b_u2 = blk("up2", s2d=False, split_at=f4)
-    b_u3 = blk("up3", s2d="2x2", split_at=f3)
-    b_u4 = blk("up4", s2d="dense", split_at=f2)
+    forms = {"inconv": "dense", "down1": "dense", "down2": "2x2",
+             "down3": False, "down4": False, "up1": False, "up2": False,
+             "up3": "2x2", "up4": "dense"}
+    if stage_forms:
+        unknown = set(stage_forms) - set(forms)
+        if unknown:
+            raise ValueError(f"unknown stage_forms keys: {unknown}")
+        direct = {"down3", "down4", "up1", "up2"}
+        bad = {k for k, v in stage_forms.items()
+               if (k in direct) != (v is False)}
+        if bad:
+            raise ValueError(
+                f"stage_forms layout mismatch for {bad}: stages "
+                f"{sorted(direct)} are wired direct-resolution (form "
+                f"False); the others take/produce s2d tensors "
+                f"(form 'dense'|'2x2'|'pallas')")
+        forms.update(stage_forms)
+    b_in = blk("inconv", s2d=forms["inconv"])
+    b_d1 = blk("down1", s2d=forms["down1"])
+    b_d2 = blk("down2", s2d=forms["down2"])
+    b_d3 = blk("down3", s2d=forms["down3"])
+    b_d4 = blk("down4", s2d=forms["down4"])
+    b_u1 = blk("up1", s2d=forms["up1"])
+    b_u2 = blk("up2", s2d=forms["up2"], split_at=f4)
+    b_u3 = blk("up3", s2d=forms["up3"], split_at=f3)
+    b_u4 = blk("up4", s2d=forms["up4"], split_at=f2)
 
     def conv1x1(x, scope, f32_out=True):
         p = params[scope]
@@ -579,8 +604,20 @@ def build_fast_resunet_forward(variables, *, dtype=jnp.bfloat16,
         ys = b_u4((_upsample2x_to_s2d(y_d, dtype),
                    _upsample2x_to_s2d(x2, dtype)))   # s2d of 544^2 x 32
 
-        emb_s = conv1x1_s2d(ys, "outconv_emb")
-        embedding = depth_to_space(emb_s)
+        if head_at_fullres:
+            # apply the (linear) 1x1 embedding head AFTER depth_to_space —
+            # mathematically identical, but the layout constraint a
+            # downstream Pallas affinity kernel imposes then lands on this
+            # dot's output instead of back-propagating through the d2s
+            # transposes into the up4 convs, which XLA otherwise demotes
+            # to a T(2,128) fused-conv emitter costing ~4.4 ms at B=1
+            # (docs/profile_b1_fix.py, PERF.md round 5)
+            y4 = depth_to_space(ys)
+            embedding = conv1x1(y4, "outconv_emb",
+                                f32_out=False).astype(dtype)
+        else:
+            emb_s = conv1x1_s2d(ys, "outconv_emb")
+            embedding = depth_to_space(emb_s)
         mask = mask_head_s2d(ys)
         if collect_ranges:
             return embedding, mask, dict(ranges_out)

@@ -15,6 +15,7 @@ from .emb2aff import (
     normalize_embedding,
     embedding_to_affinity_2d,
     embedding_to_affinity_3d,
+    affinity_2d_small_batch,
     cross_affinity_2d,
 )
 from .affinity_jax import (

@@ -21,6 +21,7 @@ Border modes:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -72,6 +73,52 @@ def embedding_to_affinity_2d(embedding: jnp.ndarray,
         if padding == "valid":
             a = a * _valid_mask_2d((h, w), (oy, ox), a.dtype)[None]
         chans.append(a)
+    return jnp.stack(chans, axis=1)
+
+
+def _shift_valid_nchw(n: jnp.ndarray, oy: int, ox: int) -> jnp.ndarray:
+    """shifted[..., y, x] = n[..., y+oy, x+ox], zero where out of bounds."""
+    h, w = n.shape[-2], n.shape[-1]
+
+    def axis_shift(t, o, ax, size):
+        if o == 0:
+            return t
+        zeros_shape = list(t.shape)
+        zeros_shape[ax] = abs(o)
+        z = jnp.zeros(zeros_shape, t.dtype)
+        if o > 0:
+            kept = jax.lax.slice_in_dim(t, o, size, axis=ax)
+            return jnp.concatenate([kept, z], axis=ax)
+        kept = jax.lax.slice_in_dim(t, 0, size + o, axis=ax)
+        return jnp.concatenate([z, kept], axis=ax)
+
+    return axis_shift(axis_shift(n, oy, -2, h), ox, -1, w)
+
+
+def affinity_2d_small_batch(embedding: jnp.ndarray, offsets,
+                            normalize: bool = True) -> jnp.ndarray:
+    """(B, H, W, C) embedding -> (B, K, H, W) valid-padding affinities,
+    pure XLA, arranged for small-batch TPU serving.
+
+    Matches ``embedding_to_affinity_2d(e, offsets, padding='valid')`` (and
+    therefore the fused Pallas kernel) exactly, but avoids the TPU custom
+    call: at B=1 the mere PRESENCE of a Mosaic custom call consuming the
+    network output demotes the upstream high-res convs to a slow T(2,128)
+    emitter costing ~3.7 ms — measured with a trivial Pallas identity
+    kernel in every operand arrangement (docs/profile_b1_arrange.py,
+    PERF.md round 5). Design: NCHW arrangement so W rides the 128-lane
+    minor dim (the naive NHWC roll chain lane-pads C=16 by 8x and measured
+    16.7 ms), pad+slice shifts (no wraparound), one fused multiply-reduce
+    per offset, f32 compute.
+    """
+    e = jnp.transpose(embedding, (0, 3, 1, 2)).astype(jnp.float32)
+    if normalize:
+        norm = jnp.sqrt(jnp.sum(e * e, axis=1, keepdims=True) + 1e-36)
+        n = e / jnp.maximum(norm, 1e-12)
+    else:
+        n = e
+    chans = [jnp.sum(n * _shift_valid_nchw(n, int(o[0]), int(o[1])), axis=1)
+             for o in offsets]
     return jnp.stack(chans, axis=1)
 
 

@@ -39,6 +39,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .emb2aff import embedding_to_affinity_2d, embedding_to_affinity_3d
 
+# Scoped-VMEM budget granted to each Mosaic kernel. This is not just a
+# cap on the kernel: XLA's allocator treats it as RESERVED around the
+# custom call, so an oversized value evicts the surrounding program's
+# VMEM-resident intermediates (measured: the B=1 544^2 serving graph
+# loses ~3.7 ms with 100 MB here — docs/profile_b1_fix.py / PERF.md r5).
+# 100 MB is needed only by the fat f32 train-path tiles; override for
+# experiments via PEA_PALLAS_VMEM_MB.
+import os as _os
+
+_VMEM_LIMIT = int(_os.environ.get("PEA_PALLAS_VMEM_MB", "100")) * 1024 * 1024
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -120,7 +131,7 @@ def _fused_affinity_2d_fwd_impl(embedding_bhwc: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, k, hp, wp), embedding_bhwc.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(e, e)
     return out[:, :, tile_h:tile_h + h, :w]
@@ -261,7 +272,7 @@ def _fused_affinity_2d_bwd_impl(e_bhwc, g_bkhw, offsets, normalized,
                                memory_space=vm),
         out_shape=jax.ShapeDtypeStruct((b, c, hp, wp), e.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(e, e, e, g, g)
     de = out[:, :, tile_h:tile_h + h, :w]
@@ -342,7 +353,7 @@ def _fused_cross_affinity_2d_impl(a_bhwc, b_bhwc, offsets, tile_h, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, k, hp, wp), a_bhwc.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(at, bt, bt)
     return out[:, :, tile_h:tile_h + h, :w]
@@ -445,7 +456,7 @@ def _fused_cross_bwd_impl(a_bhwc, b_bhwc, g_bkhw, offsets, tile_h, interpret,
             jax.ShapeDtypeStruct((b, c, hp, wp), at.dtype),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(at, at, bt, bt, g, g)
     da = jnp.transpose(da[:, :, tile_h:tile_h + h, :w], (0, 2, 3, 1))
@@ -539,7 +550,7 @@ def _fused_affinity_3d_impl(embedding_bdhwc, shifts, tile_h, interpret):
         out_shape=jax.ShapeDtypeStruct((b, k, d, hp, wp),
                                        embedding_bdhwc.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*([e] * (2 + len(uniq))))
     return out[:, :, :, tile_h:tile_h + h, :w]
@@ -687,7 +698,7 @@ def _fused_cross_affinity_3d_impl(a_bdhwc, b_bdhwc, shifts, tile_h,
                                memory_space=vm),
         out_shape=jax.ShapeDtypeStruct((b, k, d, hp, wp), a_bdhwc.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(at, *([bt] * (2 + len(uniq))))
     return out[:, :, :, tile_h:tile_h + h, :w]
@@ -820,7 +831,7 @@ def _fused_wmse_2d_fwd_impl(e_bhwc, t, w_map, m, offsets, tile_h, interpret):
                    jax.ShapeDtypeStruct((b, n_tiles, k, 8, 128),
                                         jnp.float32)),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(e, e, tp, wmp, mp)
     return (psums[:, :, :, 0, 0].sum(axis=(0, 1)),
@@ -908,7 +919,7 @@ def _fused_wmse_2d_bwd_impl(e_bhwc, t, w_map, m, g_s, offsets, tile_h,
                                memory_space=vm),
         out_shape=jax.ShapeDtypeStruct((b, c, hp, wp), e_bhwc.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(g_s.astype(jnp.float32), e, e, e, tp, tp, wmp, wmp, mp, mp)
     de = out[:, :, tile_h:tile_h + h, :w]
@@ -1007,7 +1018,7 @@ def _fused_cross_wmse_2d_fwd_impl(a_bhwc, b_bhwc, t, w_map, m, offsets,
                    jax.ShapeDtypeStruct((b, n_tiles, k, 8, 128),
                                         jnp.float32)),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(at, bt, bt, tp, wmp, mp)
     return (psums[:, :, :, 0, 0].sum(axis=(0, 1)),
@@ -1102,7 +1113,7 @@ def _fused_cross_wmse_2d_bwd_impl(a_bhwc, b_bhwc, t, w_map, m, g_s, offsets,
         out_shape=(jax.ShapeDtypeStruct((b, c, hp, wp), a_bhwc.dtype),
                    jax.ShapeDtypeStruct((b, c, hp, wp), b_bhwc.dtype)),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(g_s.astype(jnp.float32), at, at, bt, bt, bt, tp, tp, wmp, wmp, mp, mp)
     da = jnp.transpose(da[:, :, tile_h:tile_h + h, :w], (0, 2, 3, 1))

@@ -283,3 +283,20 @@ def test_fused_cross_wmse_2d_gradients_match_oracle():
         jnp.asarray(emb), jnp.asarray(ema))
     np.testing.assert_allclose(np.asarray(ga_f), np.asarray(ga_o), atol=2e-5)
     np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_o), atol=2e-5)
+
+
+def test_affinity_2d_small_batch_matches_oracle():
+    """The pure-XLA small-batch serving formulation (no custom call;
+    B=1 latency path) must match the valid-padding oracle exactly."""
+    from pixel_embedded_affinity_tpu.ops import affinity_2d_small_batch
+
+    rng = np.random.default_rng(11)
+    for shape, spec in [((1, 96, 80, 16), [1, 3, 5, 9, 27]),
+                        ((3, 40, 56, 8), [1, 2, 11])]:
+        emb = rng.normal(size=shape).astype(np.float32)
+        offsets = multi_offset(spec, neighbor=8 if shape[0] == 3 else 4)
+        got = np.asarray(affinity_2d_small_batch(jnp.asarray(emb),
+                                                 tuple(map(tuple, offsets))))
+        exp = np.asarray(embedding_to_affinity_2d(jnp.asarray(emb), offsets,
+                                                  padding="valid"))
+        np.testing.assert_allclose(got, exp, atol=1e-5)

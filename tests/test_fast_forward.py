@@ -69,3 +69,31 @@ def test_fast_forward_packed_input_matches():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(mask), np.asarray(ref_mask),
                                atol=1e-5)
+
+
+def test_fast_forward_stage_forms_exact():
+    """Every legal stage_forms override (the B=1 serving table uses these)
+    reproduces the default-table outputs exactly; illegal overrides raise."""
+    rng = np.random.default_rng(3)
+    model = ResidualUNet2DDeep(out_channels=2, nfeatures=(8, 12, 16, 24, 32),
+                               emd=8)
+    x = jnp.asarray(rng.normal(size=(1, 64, 48, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    ref_emb, ref_mask = build_fast_resunet_forward(
+        variables, dtype=jnp.float32)(x)
+
+    forms = {"inconv": "2x2", "down1": "2x2", "down2": "dense",
+             "up3": "dense", "up4": "2x2"}
+    emb, mask = build_fast_resunet_forward(
+        variables, dtype=jnp.float32, stage_forms=forms)(x)
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(ref_emb),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(mask), np.asarray(ref_mask),
+                               atol=2e-4)
+
+    with pytest.raises(ValueError, match="unknown stage_forms"):
+        build_fast_resunet_forward(variables, stage_forms={"bogus": "dense"})
+    with pytest.raises(ValueError, match="layout mismatch"):
+        build_fast_resunet_forward(variables, stage_forms={"down3": "dense"})
+    with pytest.raises(ValueError, match="layout mismatch"):
+        build_fast_resunet_forward(variables, stage_forms={"inconv": False})

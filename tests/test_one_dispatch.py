@@ -142,3 +142,49 @@ def test_one_dispatch_matches_serial_cvppp_test_mode(tmp_path):
         for name in names_s:
             assert np.array_equal(fa[f"A1/{name}/label"][:],
                                   fb[f"A1/{name}/label"][:])
+
+
+def test_fast_serving_graph_matches_slow_cvppp(tmp_path):
+    """The B=1-specialized serving graph (fullres-head fast forward +
+    pure-XLA small-batch affinity, ``use_pallas=True``) must reproduce the
+    plain Flax + roll-affinity path's decode on both dispatch patterns.
+    Runs entirely on CPU now that the serving affinity is pure XLA
+    (ops/emb2aff.py::affinity_2d_small_batch; docs/profile_b1_final.py).
+    Shapes chosen so the padded 144x160 image passes the %16 s2d gate."""
+    import jax
+
+    from pixel_embedded_affinity_tpu.data.cvppp import (synthesize,
+                                                        CVPPPValidation)
+    from pixel_embedded_affinity_tpu.infer import run_inference_2d
+    from pixel_embedded_affinity_tpu.train.loop import build_model
+
+    folder = str(tmp_path / "CVPPP")
+    synthesize(folder, n_train=4, n_valid=3, h=130, w=116)
+    cfg = load_config("cvppp", overrides={"data": {"data_folder": folder}})
+    cfg.model.filters = (4, 6, 8, 12, 16)
+    cfg.model.s2d_train = False
+    valid = CVPPPValidation(folder, padding=cfg.data.padding,
+                            shifts=tuple(cfg.data.shifts),
+                            neighbor=cfg.data.neighbor)
+    model = build_model(cfg)
+    h, w = valid[0]["image"].shape[:2]
+    assert h % 16 == 0 and w % 16 == 0  # the fast path must engage
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, h, w, 3), np.float32), train=False)
+
+    _, agg_slow = run_inference_2d(cfg, variables, valid, use_pallas=False,
+                                   out_dir=str(tmp_path / "slow"),
+                                   save_h5=True)
+    _, agg_fast = run_inference_2d(cfg, variables, valid, use_pallas=True,
+                                   one_dispatch=False,
+                                   out_dir=str(tmp_path / "fast"),
+                                   save_h5=True)
+    _, agg_fast1 = run_inference_2d(cfg, variables, valid, use_pallas=True,
+                                    one_dispatch=True,
+                                    out_dir=str(tmp_path / "fast1"),
+                                    save_h5=True)
+    _compare_h5(tmp_path / "slow", tmp_path / "fast")
+    _compare_h5(tmp_path / "fast", tmp_path / "fast1")
+    for k in agg_slow:
+        np.testing.assert_allclose(agg_fast[k], agg_slow[k], atol=1e-6)
+        np.testing.assert_allclose(agg_fast1[k], agg_slow[k], atol=1e-6)
