@@ -132,6 +132,11 @@ def bench_train_2d():
     def run(s2d: bool, K: int = 10, reps: int = 3):
         cfg = load_config("cvppp")
         cfg.model.s2d_train = s2d
+        if not s2d:
+            # the baseline leg IS the reference-style step: dense graph,
+            # f32 (the reference trains f32); ours keeps the shipped
+            # default (model.dtype='auto' -> bf16 compute on TPU)
+            cfg.model.dtype = "float32"
         model = build_model(cfg)
         tx = make_optimizer(1e-4)
         state = init_state(cfg, model, tx, batch)
@@ -209,6 +214,9 @@ def bench_train_3d():
 
     def run(use_pallas: bool, K: int = 5, reps: int = 2):
         cfg = load_config("ac3ac4")
+        if not use_pallas:
+            # baseline leg: f32 roll-chain step as the reference trains
+            cfg.model.dtype = "float32"
         model = build_model(cfg)
         tx = make_optimizer(1e-4)
         state = init_state(cfg, model, tx, batch)
@@ -267,6 +275,9 @@ def _tiled_engine_setup():
     from pixel_embedded_affinity_tpu.train.loop import build_model
 
     cfg = load_config("ac3ac4")
+    cfg.model.dtype = "float32"  # the baseline predict below is the
+    # reference-faithful f32 graph; the shipped serving predictor gets its
+    # dtype from the bf16_tiled_infer/fast_tiled_infer flags, not this
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((1, 18, 160, 160, 1), jnp.float32)

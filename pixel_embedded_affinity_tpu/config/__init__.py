@@ -1,1 +1,2 @@
-from .config import Config, load_config, PRESETS
+from .config import (Config, load_config, PRESETS,
+                     resolve_compute_dtype)

@@ -21,7 +21,16 @@ class ModelConfig:
     emd: int = 16
     filters: tuple = (16, 32, 64, 128, 256)
     merge_mode: str = "add"
-    dtype: str = "float32"  # or bfloat16 compute
+    # compute dtype: "auto" resolves to bfloat16 on TPU and float32
+    # elsewhere (resolve_compute_dtype). Params/optimizer state stay f32
+    # either way (Flax param_dtype default), so checkpoints interchange.
+    # Adopted after the round-5 matched A/B on identical data+seed:
+    # 2D dual-view step 89.0 -> 79.3 ms/iter (1.12x) with SBD/VOI at
+    # parity (0.652/0.619 f32 vs 0.739/0.470 bf16 @2000 — synthetic-set
+    # noise band), identical loss trajectory; 3D drive evidence in
+    # docs/PERF.md round-5. `-o model.dtype=float32` restores the
+    # reference's f32 training (scripts_cvppp/main.py trains f32).
+    dtype: str = "auto"  # auto | float32 | bfloat16
     # s2d training graph for resunet2d_deep (models/resunet2d_s2d.py):
     # exact math, same checkpoint tree, faster fwd+bwd on TPU
     s2d_train: bool = True
@@ -259,3 +268,23 @@ def load_config(preset: str | None = None, yaml_path: str | None = None,
     if overrides:
         _apply(cfg, overrides)
     return cfg
+
+
+def resolve_compute_dtype(model_cfg) -> str:
+    """Resolve ModelConfig.dtype to a concrete "float32"/"bfloat16".
+
+    "auto" picks bfloat16 on TPU (the measured-parity shipped default,
+    see the field comment) and float32 on CPU — keeping the CPU test
+    tiers and torch-parity fixtures in f32, where XLA:CPU bf16 is both
+    slow and loose. Explicit values pass through untouched.
+    """
+    d = model_cfg.dtype
+    if d != "auto":
+        return d
+    try:
+        import jax
+
+        return ("bfloat16" if jax.devices()[0].platform == "tpu"
+                else "float32")
+    except Exception:
+        return "float32"

@@ -13,7 +13,7 @@ import os
 
 import numpy as np
 
-from ..config import Config
+from ..config import Config, resolve_compute_dtype
 from ..ops import multi_offset
 from ..ops.affinity_np import relabel
 from ..postproc import seg_mutex, merge_func
@@ -85,7 +85,7 @@ def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None
 
             # follow the model's compute dtype so metrics match the
             # training-loop validation path bit-for-bit-ish
-            fdt = (jnp.bfloat16 if cfg.model.dtype == "bfloat16"
+            fdt = (jnp.bfloat16 if resolve_compute_dtype(cfg.model) == "bfloat16"
                    else jnp.float32)
             fast_fn = build_fast_resunet_forward(variables, dtype=fdt)
         except Exception:  # unexpected param tree: use the module path
@@ -95,7 +95,7 @@ def run_inference_2d(cfg: Config, variables, dataset, out_dir: str | None = None
     if fast_fn is not None:
         import jax.numpy as jnp
 
-        fdt = (jnp.bfloat16 if cfg.model.dtype == "bfloat16"
+        fdt = (jnp.bfloat16 if resolve_compute_dtype(cfg.model) == "bfloat16"
                else jnp.float32)
         fast_packed_fn = build_fast_resunet_forward(variables, dtype=fdt,
                                                     input_format="s2d",
@@ -336,7 +336,7 @@ def run_cvppp_test(cfg: Config, variables, dataset, out_path: str,
             from ..models.fast_forward import build_fast_resunet_forward
             import jax.numpy as jnp
 
-            fdt = (jnp.bfloat16 if cfg.model.dtype == "bfloat16"
+            fdt = (jnp.bfloat16 if resolve_compute_dtype(cfg.model) == "bfloat16"
                    else jnp.float32)
             fast_packed_fn = build_fast_resunet_forward(
                 variables, dtype=fdt, input_format="s2d",

@@ -43,8 +43,11 @@ def build_tiled_predictor(cfg: Config, variables,
     from ..ops import embedding_to_affinity_3d
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    serve_dtype = (jnp.bfloat16 if (cfg.model.bf16_tiled_infer
-                                    and cfg.model.dtype == "float32")
+    from ..config import resolve_compute_dtype
+
+    serve_dtype = (jnp.bfloat16
+                   if (cfg.model.bf16_tiled_infer
+                       or resolve_compute_dtype(cfg.model) == "bfloat16")
                    else jnp.float32)
     fast = (cfg.model.fast_tiled_infer
             and cfg.model.arch == "unet_pni_deep")

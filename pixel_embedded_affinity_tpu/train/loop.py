@@ -34,7 +34,10 @@ log = logging.getLogger("pea")
 def build_model(cfg: Config):
     import jax.numpy as jnp
 
-    dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
+    from ..config import resolve_compute_dtype
+
+    dtype = (jnp.bfloat16 if resolve_compute_dtype(cfg.model) == "bfloat16"
+             else jnp.float32)
     if cfg.model.arch == "resunet2d_deep":
         if getattr(cfg.model, "s2d_train", False):
             from ..models.resunet2d_s2d import ResidualUNet2DDeepS2D
